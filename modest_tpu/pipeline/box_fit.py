@@ -1,0 +1,152 @@
+"""2D rectangle fitting for seed bounding boxes.
+
+Reference: pointcloud_utils.py:88-317. Clusters live in rect-camera coords;
+rectangles are fitted on the (x, z) plane. All fitters return
+(corners (4,2), angle, area) with corner order
+[(max_u, min_v), (min_u, min_v), (min_u, max_v), (max_u, max_v)] mapped back
+to world, so l = u-extent and w = v-extent.
+
+The angle-scan fitters (closeness / variance) are vectorized over all 901
+angles at once instead of the reference's Python loop.
+"""
+from __future__ import annotations
+
+import types
+
+import numpy as np
+
+
+def _proj(pts: np.ndarray, angles: np.ndarray):
+    """Project (n,2) pts into frames rotated by each angle → (A, n, 2)."""
+    c, s = np.cos(angles), np.sin(angles)
+    u = pts[None, :, 0] * c[:, None] + pts[None, :, 1] * s[:, None]
+    v = -pts[None, :, 0] * s[:, None] + pts[None, :, 1] * c[:, None]
+    return u, v
+
+
+def _corners_world(angle: float, min_u, max_u, min_v, max_v):
+    c, s = np.cos(angle), np.sin(angle)
+    comp = np.array([[c, s], [-s, c]])
+    rect = np.array([[max_u, min_v], [min_u, min_v], [min_u, max_v], [max_u, max_v]])
+    return rect @ comp
+
+
+def _finalize(pts: np.ndarray, angle: float):
+    """Recompute the box at `angle`, flipping by 90° so l >= w (reference
+    closeness/variance tail: :197-216)."""
+    u, v = _proj(pts, np.array([angle]))
+    u, v = u[0], v[0]
+    if (u.max() - u.min()) < (v.max() - v.min()):
+        angle = angle + np.pi / 2
+        u, v = _proj(pts, np.array([angle]))
+        u, v = u[0], v[0]
+    min_u, max_u, min_v, max_v = u.min(), u.max(), v.min(), v.max()
+    area = (max_u - min_u) * (max_v - min_v)
+    return _corners_world(angle, min_u, max_u, min_v, max_v), angle, area
+
+
+def closeness_rectangle(cluster_ptc: np.ndarray, delta=0.1, d0=1e-2):
+    """Closeness-to-edge scoring over a 0..90° angle scan (reference :167-216)."""
+    angles = np.arange(0, 90 + delta, delta) / 180.0 * np.pi
+    u, v = _proj(cluster_ptc, angles)  # (A, n)
+    du = np.minimum(u - u.min(1, keepdims=True), u.max(1, keepdims=True) - u)
+    dv = np.minimum(v - v.min(1, keepdims=True), v.max(1, keepdims=True) - v)
+    beta = np.maximum(np.minimum(du, dv), d0)
+    score = (1.0 / beta).sum(1)
+    return _finalize(cluster_ptc, angles[int(np.argmax(score))])
+
+
+def variance_rectangle(cluster_ptc: np.ndarray, delta=0.1):
+    """Variance-to-edge scoring (reference :219-275)."""
+    angles = np.arange(0, 90 + delta, delta) / 180.0 * np.pi
+    u, v = _proj(cluster_ptc, angles)
+    du = np.minimum(u - u.min(1, keepdims=True), u.max(1, keepdims=True) - u)
+    dv = np.minimum(v - v.min(1, keepdims=True), v.max(1, keepdims=True) - v)
+    mask_u = du < dv  # point assigned to a u-edge
+    mask_v = dv < du
+
+    def masked_var(d, m):
+        cnt = m.sum(1)
+        safe = np.maximum(cnt, 1)
+        mean = (d * m).sum(1) / safe
+        var = ((d - mean[:, None]) ** 2 * m).sum(1) / safe
+        return np.where(cnt > 0, -var, 0.0)
+
+    score = masked_var(du, mask_u) + masked_var(dv, mask_v)
+    return _finalize(cluster_ptc, angles[int(np.argmax(score))])
+
+
+def PCA_rectangle(cluster_ptc: np.ndarray):
+    """Principal-axis aligned rectangle (reference :149-165)."""
+    centered = cluster_ptc - cluster_ptc.mean(0)
+    cov = centered.T @ centered
+    _, vecs = np.linalg.eigh(cov)
+    first = vecs[:, -1]  # principal component
+    angle = np.arctan2(first[1], first[0])
+    comp = np.array([[np.cos(angle), np.sin(angle)], [-np.sin(angle), np.cos(angle)]])
+    on = cluster_ptc @ comp.T
+    min_u, max_u = on[:, 0].min(), on[:, 0].max()
+    min_v, max_v = on[:, 1].min(), on[:, 1].max()
+    area = (max_u - min_u) * (max_v - min_v)
+    return _corners_world(angle, min_u, max_u, min_v, max_v), angle, area
+
+
+def minimum_bounding_rectangle(cluster_ptc: np.ndarray):
+    """Exact min-area rectangle via convex-hull edge directions (:88-147)."""
+    from scipy.spatial import ConvexHull
+
+    hull = cluster_ptc[ConvexHull(cluster_ptc).vertices]
+    edges = np.diff(np.vstack([hull, hull[:1]]), axis=0)
+    angles = np.unique(np.abs(np.mod(np.arctan2(edges[:, 1], edges[:, 0]), np.pi / 2)))
+    u, v = _proj(hull, angles)
+    areas = (u.max(1) - u.min(1)) * (v.max(1) - v.min(1))
+    best = int(np.argmin(areas))
+    angle = angles[best]
+    min_u, max_u = u[best].min(), u[best].max()
+    min_v, max_v = v[best].min(), v[best].max()
+    return _corners_world(angle, min_u, max_u, min_v, max_v), angle, areas[best]
+
+
+FIT_METHODS = {
+    "closeness_to_edge": closeness_rectangle,
+    "variance_to_edge": variance_rectangle,
+    "PCA": PCA_rectangle,
+    "min_zx_area_fit": minimum_bounding_rectangle,
+}
+
+
+def get_lowest_point_rect(ptc: np.ndarray, xz_center, l, w, ry) -> float:
+    """Max y (lowest point, camera coords) of the full cloud inside the
+    fitted BEV rectangle (reference :278-290)."""
+    shifted = ptc[:, [0, 2]] - xz_center
+    c, s = np.cos(ry), np.sin(ry)
+    u = shifted[:, 0] * c - shifted[:, 1] * s
+    v = shifted[:, 0] * s + shifted[:, 1] * c
+    mask = (u > -l / 2) & (u < l / 2) & (v > -w / 2) & (v < w / 2)
+    ys = ptc[mask, 1]
+    return float(ys.max()) if ys.size else float(ptc[:, 1].max())
+
+
+def get_obj(cluster_rect: np.ndarray, full_rect: np.ndarray,
+            fit_method: str = "closeness_to_edge") -> types.SimpleNamespace:
+    """Fit a camera-frame box to a cluster (reference get_obj:292-317).
+
+    cluster_rect / full_rect: (n, 3) points in rect camera coords.
+    Returns obj with t (bottom center), l, w, h, ry, volume.
+    """
+    fitter = FIT_METHODS[fit_method]
+    corners, ry, area = fitter(cluster_rect[:, [0, 2]])
+    ry = -ry
+    l = float(np.linalg.norm(corners[0] - corners[1]))
+    w = float(np.linalg.norm(corners[0] - corners[-1]))
+    c = (corners[0] + corners[2]) / 2
+    bottom = get_lowest_point_rect(full_rect, c, l, w, ry)
+    h = float(bottom - cluster_rect[:, 1].min())
+    obj = types.SimpleNamespace()
+    obj.t = np.array([c[0], bottom, c[1]])
+    obj.l = l
+    obj.w = w
+    obj.h = h
+    obj.ry = float(ry)
+    obj.volume = float(area * h)
+    return obj

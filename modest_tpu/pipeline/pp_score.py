@@ -1,0 +1,224 @@
+"""Ephemerality (PP) score over historical traversals — TPU-batched.
+
+Reference semantics (generate_cluster_mask/pre_compute_pp_score.py):
+  * per origin frame, align every neighboring traversal's frames into the
+    first neighboring traversal's frame via get_relative_pose (:143-167);
+  * count, for each origin point, its neighbors within ``max_neighbor_dist``
+    in each traversal's combined cloud (cKDTree query_ball_point, :54-60);
+  * PP = entropy of the per-traversal count distribution, normalized by
+    log(#traversals) (:68-75).
+
+TPU re-design: the per-traversal cKDTrees (CPU, O(N log M) with huge
+constants) become one padded (T, M, 3) tensor in HBM and a tiled
+distance-count — ``|x-y|^2 = |x|^2 + |y|^2 - 2 x.y`` with the cross term on
+the MXU in fp32. Counting is exact for |d^2 - r^2| > ~1e-3 (fp32 matmul
+rounding); boundary flips at sub-mm scale do not move the entropy.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.pose import (
+    KITTI2NU_LYFT,
+    KITTI2NU_NUSC,
+    get_relative_pose,
+    transform_points,
+)
+
+# ---------------------------------------------------------------------------
+# device compute
+# ---------------------------------------------------------------------------
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _radius_count_one(query, qmask, trav, tmask, r2, chunk: int = 8192):
+    """Count trav points within sqrt(r2) of each query point.
+
+    query: (N, 3) f32 padded; qmask: (N,) bool
+    trav: (M, 3) f32 padded;  tmask: (M,) bool
+    Returns (N,) int32 counts (0 on padded query rows).
+    """
+    n = query.shape[0]
+    m = trav.shape[0]
+    q_sq = (query * query).sum(-1)  # (N,)
+
+    num_chunks = m // chunk
+
+    def body(carry, idx):
+        start = idx * chunk
+        t = jax.lax.dynamic_slice(trav, (start, 0), (chunk, 3))
+        tm = jax.lax.dynamic_slice(tmask, (start,), (chunk,))
+        t_sq = (t * t).sum(-1)
+        cross = jax.lax.dot_general(
+            query,
+            t,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (N, chunk)
+        d2 = q_sq[:, None] + t_sq[None, :] - 2.0 * cross
+        hit = (d2 <= r2) & tm[None, :]
+        return carry + hit.sum(axis=1, dtype=jnp.int32), None
+
+    counts, _ = jax.lax.scan(body, jnp.zeros((n,), jnp.int32), jnp.arange(num_chunks))
+    return jnp.where(qmask, counts, 0)
+
+
+def radius_counts(query: np.ndarray, traversals: list[np.ndarray], radius: float,
+                  chunk: int = 8192) -> np.ndarray:
+    """(N, T) neighbor counts of query points in each traversal cloud.
+
+    Host wrapper: pads each traversal to a bucketed length so XLA re-uses a
+    small set of compiled programs across frames.
+    """
+    n = query.shape[0]
+    n_pad = max(_round_up(n, 1024), 1024)
+    q = np.zeros((n_pad, 3), np.float32)
+    q[:n] = query[:, :3]
+    qmask = np.zeros(n_pad, bool)
+    qmask[:n] = True
+
+    out = np.zeros((n, len(traversals)), np.int64)
+    r2 = np.float32(radius * radius)
+    for ti, trav in enumerate(traversals):
+        m = trav.shape[0]
+        m_pad = max(_round_up(m, chunk), chunk)
+        t = np.zeros((m_pad, 3), np.float32)
+        t[:m] = trav[:, :3]
+        tmask = np.zeros(m_pad, bool)
+        tmask[:m] = True
+        cnt = _radius_count_one(q, qmask, t, tmask, r2, chunk=chunk)
+        out[:, ti] = np.asarray(cnt)[:n]
+    return out
+
+
+def compute_ephe_score(count: np.ndarray, ephe_type: str = "entropy") -> np.ndarray:
+    """Normalized entropy over per-traversal counts (reference :68-75)."""
+    if ephe_type != "entropy":
+        raise NotImplementedError(ephe_type)
+    count = np.asarray(count, np.float64)
+    n = count.shape[1]
+    P = count / (count.sum(axis=1, keepdims=True) + 1e-8)
+    H = (-P * np.log(P + 1e-8)).sum(axis=1) / np.log(n)
+    return H
+
+
+# ---------------------------------------------------------------------------
+# host-side traversal assembly (the L1 file contract)
+# ---------------------------------------------------------------------------
+
+
+def remove_center(ptc, x_range=(-1.15, 1.75), y_range=(-0.65, 0.65)):
+    """Crop the ego-vehicle footprint (nuScenes; reference :48-52)."""
+    mask = (
+        (ptc[:, 0] < x_range[1])
+        & (ptc[:, 0] >= x_range[0])
+        & (ptc[:, 1] < y_range[1])
+        & (ptc[:, 1] >= y_range[0])
+    )
+    return ptc[~mask]
+
+
+class TraversalIndex:
+    """Loads track_list + valid_idx metadata and the per-frame pose files.
+
+    track_list: list over sequences of lists of global frame ids.
+    valid_idx: {origin_idx: (origin_seq, origin_frame, [(seq_id, frame_indices), ...])}
+    """
+
+    def __init__(self, data_root, track_list, valid_idx, nusc: bool = False):
+        import os.path as osp
+
+        self.data_root = str(data_root)
+        self.track_list = track_list
+        self.valid_idx = valid_idx
+        self.kitti2nu = KITTI2NU_NUSC if nusc else KITTI2NU_LYFT
+        self.nusc = nusc
+
+        from ..utils.pose import load_oxts_pose
+
+        oxts = osp.join(self.data_root, "oxts")
+        l2e = osp.join(self.data_root, "l2e")
+        self.poses = []
+        self.l2es = []
+        for seq in track_list:
+            self.poses.append([load_oxts_pose(osp.join(oxts, f"{i:06d}.txt")) for i in seq])
+            self.l2es.append([np.load(osp.join(l2e, f"{i:06d}.npy")) for i in seq])
+
+    def _velo(self, global_idx: int) -> np.ndarray:
+        import os.path as osp
+
+        from ..utils.kitti_io import load_velo_scan
+
+        return load_velo_scan(osp.join(self.data_root, "velodyne", f"{global_idx:06d}.bin"))[:, :3]
+
+    def combined_traversals(self, origin_idx: int):
+        """Returns ({seq_id: (M_i, 3) aligned cloud}, origin trans_mat 4x4).
+
+        Mirrors reference :125-171: everything is expressed in the frame of
+        the FIRST neighboring traversal's first frame.
+        """
+        _, _, neighbors = self.valid_idx[origin_idx]
+        first_seq, first_indices = neighbors[0]
+        first_pose = self.poses[first_seq][first_indices[0]]
+        first_l2e = self.l2es[first_seq][first_indices[0]]
+
+        combined = {}
+        for seq_id, indices in neighbors:
+            parts = []
+            for frame in indices:
+                ptc = self._velo(self.track_list[seq_id][frame])
+                if self.nusc:
+                    ptc = remove_center(ptc)
+                rel = get_relative_pose(
+                    fixed_l2e=first_l2e,
+                    fixed_ego=first_pose,
+                    query_l2e=self.l2es[seq_id][frame],
+                    query_ego=self.poses[seq_id][frame],
+                    kitti2nu=self.kitti2nu,
+                )
+                parts.append(transform_points(ptc, rel).astype(np.float32))
+            combined[seq_id] = np.concatenate(parts)
+
+        origin_seq, origin_frame, _ = self.valid_idx[origin_idx]
+        trans_mat = get_relative_pose(
+            fixed_l2e=first_l2e,
+            fixed_ego=first_pose,
+            query_l2e=self.l2es[origin_seq][origin_frame],
+            query_ego=self.poses[origin_seq][origin_frame],
+            kitti2nu=self.kitti2nu,
+        )
+        return combined, trans_mat
+
+    def origin_cloud(self, origin_idx: int) -> np.ndarray:
+        origin_seq, origin_frame, _ = self.valid_idx[origin_idx]
+        return self._velo(self.track_list[origin_seq][origin_frame])
+
+
+def pp_score_for_frame(index: TraversalIndex, origin_idx: int, radius: float,
+                       limit_traversals: int = -1, add_random_noise: float = 0.0,
+                       rng: np.random.RandomState | None = None) -> np.ndarray:
+    """Full PP score for one origin frame (reference main loop :122-196)."""
+    combined, trans_mat = index.combined_traversals(origin_idx)
+    origin_ptc = transform_points(index.origin_cloud(origin_idx), trans_mat)
+    if add_random_noise > 0:
+        rng = rng or np.random.RandomState()
+        noise = rng.randn(3)
+        noise /= np.linalg.norm(noise)
+        noise *= add_random_noise * rng.uniform()
+        origin_ptc = origin_ptc + noise.reshape(1, 3)
+
+    traversals = list(combined.values())
+    if limit_traversals > 1:
+        traversals = traversals[:limit_traversals]
+
+    counts = radius_counts(origin_ptc.astype(np.float32), traversals, radius)
+    return compute_ephe_score(counts).astype(np.float32)

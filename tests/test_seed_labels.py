@@ -1,0 +1,306 @@
+"""Seed-label generation tests: RANSAC plane, PP-gated DBSCAN (vs sklearn),
+rectangle fitting, cluster filters, NMS, end-to-end mask generation."""
+import numpy as np
+import pytest
+
+from modest_tpu.pipeline import box_fit, clustering, ground_plane, seed_labels
+from modest_tpu.utils.config import Config
+
+
+def test_estimate_plane_flat_ground(rng):
+    ground = np.stack(
+        [rng.uniform(-20, 60, 4000), rng.uniform(-15, 15, 4000),
+         rng.normal(-1.8, 0.02, 4000)], 1
+    )
+    clutter = np.stack(
+        [rng.uniform(-20, 60, 500), rng.uniform(-15, 15, 500), rng.uniform(-1.0, 2.0, 500)], 1
+    )
+    ptc = np.concatenate([ground, clutter])
+    plane = ground_plane.estimate_plane(ptc, max_hs=-1.5)
+    # plane ~ z = -1.8 → normalized (0, 0, 1, 1.8) after the reference negation
+    np.testing.assert_allclose(plane[:3], [0, 0, 1], atol=0.01)
+    np.testing.assert_allclose(plane[3], 1.8, atol=0.05)
+    # above_plane: ground removed, clutter kept
+    mask = ground_plane.above_plane(ptc, plane, offset=0.1, only_range=((-70, 70), (-20, 20)))
+    assert mask[:4000].mean() < 0.05
+    assert mask[4000:].mean() > 0.9
+
+
+def test_distance_to_plane_directional():
+    plane = np.array([0.0, 0.0, 1.0, 1.8])
+    pts = np.array([[0, 0, 0.2], [0, 0, -1.8], [0, 0, -3.0]])
+    d = ground_plane.distance_to_plane(pts, plane, directional=True)
+    np.testing.assert_allclose(d, [2.0, 0.0, -1.2], atol=1e-9)
+
+
+def _sklearn_dbscan(xyz, pp, k, radius, eps, min_samples):
+    import scipy.sparse as sp
+    from sklearn import cluster, neighbors
+
+    graph = neighbors.kneighbors_graph(xyz, n_neighbors=k)
+    graph = graph.multiply(graph.T)
+    graph = graph.multiply(neighbors.radius_neighbors_graph(xyz, radius=radius))
+    graph.eliminate_zeros()
+    graph = graph.tocsr()
+    data = graph.data.copy()
+    for r in range(graph.indptr.shape[0] - 1):
+        sl = slice(graph.indptr[r], graph.indptr[r + 1])
+        data[sl] = np.abs(pp[r] - pp[graph.indices[sl]])
+    dist = sp.csr_matrix((data, graph.indices, graph.indptr), shape=graph.shape)
+    return cluster.DBSCAN(metric="precomputed", eps=eps, min_samples=min_samples).fit(dist).labels_
+
+
+def _pair_agreement(a, b):
+    """Fraction of point pairs on which two clusterings agree (co-clustered
+    incl. noise-vs-cluster distinctions)."""
+    n = len(a)
+    same_a = (a[:, None] == a[None, :]) & (a[:, None] >= 0)
+    same_b = (b[:, None] == b[None, :]) & (b[:, None] >= 0)
+    return (same_a == same_b).mean()
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_dbscan_matches_sklearn_on_blobs(seed):
+    rng = np.random.RandomState(seed)
+    blobs = []
+    pps = []
+    for i in range(4):
+        center = rng.uniform(-25, 25, 3) * np.array([1, 1, 0.05])
+        blobs.append(center + rng.randn(80, 3) * 0.4)
+        pps.append(np.full(80, 0.1 + 0.02 * rng.rand(80)))
+    # scattered background with high PP variance → mostly noise
+    blobs.append(rng.uniform(-30, 30, (150, 3)) * np.array([1, 1, 0.1]))
+    pps.append(rng.rand(150))
+    xyz = np.concatenate(blobs).astype(np.float32)
+    pp = np.concatenate(pps).astype(np.float32)
+
+    ours = clustering.dbscan_pp(xyz, pp, n_neighbors=20, radius=2.0, eps=0.1, min_samples=10)
+    ref = _sklearn_dbscan(xyz, pp, 20, 2.0, 0.1, 10)
+    assert _pair_agreement(ours, ref) > 0.995
+    # the 4 dense blobs must come out as 4 clusters
+    assert len(set(ours[:320]) - {-1}) == 4
+
+
+def test_dbscan_pp_gate_splits_touching_clusters(rng):
+    """Two spatially-adjacent blobs with different PP must split."""
+    a = rng.randn(100, 3) * 0.3 + [0, 0, 0]
+    b = rng.randn(100, 3) * 0.3 + [1.2, 0, 0]
+    xyz = np.concatenate([a, b]).astype(np.float32)
+    pp = np.concatenate([np.full(100, 0.1), np.full(100, 0.9)]).astype(np.float32)
+    labels = clustering.dbscan_pp(xyz, pp, n_neighbors=15, radius=2.0, eps=0.1, min_samples=5)
+    la = set(labels[:100]) - {-1}
+    lb = set(labels[100:]) - {-1}
+    assert la and lb and not (la & lb)
+
+
+def test_rectangle_fitters_axis_aligned(rng):
+    pts = rng.uniform(0, 1, (500, 2)) * np.array([4.0, 1.6]) + np.array([10.0, 5.0])
+    for name in ["closeness_to_edge", "variance_to_edge", "PCA", "min_zx_area_fit"]:
+        corners, angle, area = box_fit.FIT_METHODS[name](pts)
+        assert area < 4.0 * 1.6 * 1.15, name
+        ext = corners.max(0) - corners.min(0)
+        np.testing.assert_allclose(sorted(ext), [1.6, 4.0], atol=0.4)
+
+
+def test_rectangle_fitters_rotated(rng):
+    raw = rng.uniform(0, 1, (800, 2)) * np.array([4.0, 1.6])
+    theta = 0.5
+    R = np.array([[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]])
+    pts = raw @ R.T + np.array([3.0, -2.0])
+    corners, angle, area = box_fit.closeness_rectangle(pts)
+    assert abs(area - 4 * 1.6) < 0.8
+    # recovered angle ≈ theta modulo 90°
+    d = (angle - theta) % (np.pi / 2)
+    assert min(d, np.pi / 2 - d) < 0.05
+    # l >= w convention after the 90° flip
+    l = np.linalg.norm(corners[0] - corners[1])
+    w = np.linalg.norm(corners[0] - corners[-1])
+    assert l >= w
+
+
+def test_get_obj_geometry(rng):
+    """A synthetic box-shaped cluster in rect camera coords (y down)."""
+    n = 600
+    x = rng.uniform(-2, 2, n) + 5.0
+    z = rng.uniform(-0.9, 0.9, n) + 20.0
+    y = rng.uniform(-1.5, 0.0, n)  # bottom at y=0
+    cluster = np.stack([x, y, z], 1)
+    obj = box_fit.get_obj(cluster, cluster)
+    np.testing.assert_allclose(obj.t[0], 5.0, atol=0.1)
+    np.testing.assert_allclose(obj.t[2], 20.0, atol=0.1)
+    np.testing.assert_allclose(obj.t[1], 0.0, atol=0.05)  # bottom = max y
+    np.testing.assert_allclose(obj.h, 1.5, atol=0.1)
+    np.testing.assert_allclose(sorted([obj.l, obj.w]), [1.8, 4.0], atol=0.15)
+
+
+def test_is_valid_cluster_filters():
+    plane = np.array([0.0, 0.0, 1.0, 1.8])
+    grounded = np.stack([np.zeros(50), np.zeros(50), np.linspace(-1.7, 0.0, 50)], 1)
+    low_pp = np.full(50, 0.1)
+    assert seed_labels.is_valid_cluster(grounded, low_pp, plane,
+                                        max_min_height=1.0, min_max_height=0.5,
+                                        percentile=20, min_percentile_pp_score=0.7)
+    # floating cluster fails max_min_height
+    floating = grounded + [0, 0, 2.0]
+    assert not seed_labels.is_valid_cluster(floating, low_pp, plane,
+                                            max_min_height=1.0, min_max_height=0.5,
+                                            percentile=20, min_percentile_pp_score=0.7)
+    # flat cluster fails min_max_height
+    flat = grounded.copy()
+    flat[:, 2] = -1.75
+    assert not seed_labels.is_valid_cluster(flat, low_pp, plane,
+                                            max_min_height=1.0, min_max_height=0.5,
+                                            percentile=20, min_percentile_pp_score=0.7)
+    # persistent (high PP) cluster fails the ephemerality gate
+    assert not seed_labels.is_valid_cluster(grounded, np.full(50, 0.9), plane,
+                                            max_min_height=1.0, min_max_height=0.5,
+                                            percentile=20, min_percentile_pp_score=0.7)
+    # too few points
+    assert not seed_labels.is_valid_cluster(grounded[:5], low_pp[:5], plane, min_points=10,
+                                            max_min_height=1.0, min_max_height=0.5,
+                                            percentile=20, min_percentile_pp_score=0.7)
+
+
+def _mk_obj(x, z, l, w, ry=0.0, h=1.5, score=None):
+    import types
+
+    o = types.SimpleNamespace()
+    o.t = np.array([x, 0.0, z])
+    o.l, o.w, o.h, o.ry = l, w, h, ry
+    o.volume = l * w * h
+    if score is not None:
+        o.score = score
+    return o
+
+
+def test_objs_nms_area_rank():
+    objs = [
+        _mk_obj(0, 10, 4, 2),      # big box
+        _mk_obj(0.2, 10.1, 2, 1),  # small overlapping box → suppressed
+        _mk_obj(20, 10, 4, 2),     # far box → kept
+    ]
+    kept = seed_labels.objs_nms(objs, nms_threshold=0.1)
+    assert len(kept) == 2
+    assert kept[0] is objs[0] and kept[1] is objs[2]
+
+
+def test_objs_nms_score_rank():
+    objs = [
+        _mk_obj(0, 10, 2, 1, score=0.2),
+        _mk_obj(0.1, 10, 2, 1, score=0.9),  # higher score wins despite order
+    ]
+    kept = seed_labels.objs_nms(objs, use_score_rank=True, nms_threshold=0.1)
+    assert len(kept) == 1 and kept[0] is objs[1]
+
+
+def test_filter_by_ppscore():
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-1, 1, (200, 3)) * [2, 0.7, 1] + [0, -0.7, 10]
+    obj = _mk_obj(0, 10, 4, 2, h=1.5)
+    pp_low = np.full(200, 0.1)
+    pp_high = np.full(200, 0.9)
+    assert seed_labels.filter_by_ppscore(pts, pp_low, obj, percentile=20, threshold=0.7)
+    assert not seed_labels.filter_by_ppscore(pts, pp_high, obj, percentile=20, threshold=0.7)
+    # empty box → rejected
+    far = _mk_obj(100, 100, 1, 1)
+    assert not seed_labels.filter_by_ppscore(pts, pp_low, far)
+
+
+def _identity_calib():
+    from modest_tpu.utils.kitti_io import Calibration
+
+    # velodyne → rect mapping: x_r = -y_v, y_r = -z_v, z_r = x_v (standard KITTI-ish)
+    V2C = np.array([[0.0, -1.0, 0.0, 0.0], [0.0, 0.0, -1.0, 0.0], [1.0, 0.0, 0.0, 0.0]])
+    P2 = np.array([[700.0, 0.0, 600.0, 0.0], [0.0, 700.0, 200.0, 0.0], [0.0, 0.0, 1.0, 0.0]])
+    return Calibration({"P2": P2, "P3": P2, "R0_rect": np.eye(3), "Tr_velo_to_cam": V2C})
+
+
+def default_mask_cfg():
+    return Config(
+        {
+            "plane_estimate": {"range": [[-70, 70], [-20, 20]], "max_hs": -1.5, "offset": 0.05},
+            "limit_range": [[-70, 70], [-40, 40]],
+            "graph": {"neighbor_type": "radius_mutual_knn", "affinity_type": "l1",
+                      "n_neighbors": 30, "radius": 2.0},
+            "clustering": {"method": "DBSCAN", "DBSCAN": {"eps": 0.1, "min_samples": 10}},
+            "filtering": {"min_points": 10, "max_volume": 120, "min_volume": 0.5,
+                          "min_max_height": 0.5, "max_min_height": 1.0,
+                          "percentile": 20, "min_percentile_pp_score": 0.7},
+            "bbox_gen": {"fit_method": "closeness_to_edge"},
+        }
+    )
+
+
+def test_generate_mask_end_to_end(rng):
+    """Synthetic scene: ground plane + one ephemeral car + persistent wall →
+    exactly the car comes out as a seed box."""
+    ground = np.stack(
+        [rng.uniform(0, 60, 6000), rng.uniform(-20, 20, 6000), rng.normal(-1.8, 0.01, 6000)], 1
+    )
+    car = rng.uniform(0, 1, (400, 3)) * [4.0, 1.8, 1.4] + [20.0, 3.0, -1.75]
+    wall = np.stack(
+        [rng.uniform(30, 34, 500), np.full(500, -10.0) + rng.randn(500) * 0.05,
+         rng.uniform(-1.8, 1.0, 500)], 1
+    )
+    pts = np.concatenate([ground, car, wall]).astype(np.float32)
+    ptc = np.concatenate([pts, np.zeros((len(pts), 1), np.float32)], 1)
+    pp = np.concatenate(
+        [np.full(6000, 0.8), np.full(400, 0.05), np.full(500, 0.85)]
+    ).astype(np.float32)
+
+    labels, objs = seed_labels.generate_mask_for_frame(ptc, pp, _identity_calib(), default_mask_cfg())
+    assert len(objs) == 1, f"expected 1 seed box, got {len(objs)}"
+    # car points labeled with the surviving cluster id (1)
+    assert (labels[6000:6400] == 1).mean() > 0.9
+    assert (labels[:6000] == 0).mean() > 0.98  # ground is background
+    assert (labels[6400:] == 0).all()  # persistent wall filtered by PP gate
+
+    obj = objs[0]
+    # box dims ≈ car dims (camera frame: l/w from BEV, h ≈ 1.4)
+    np.testing.assert_allclose(sorted([obj.l, obj.w]), [1.8, 4.0], atol=0.3)
+    np.testing.assert_allclose(obj.h, 1.4, atol=0.25)
+    assert 0.5 < obj.volume < 120
+
+
+def test_objs2label_roundtrip(tmp_path):
+    calib = _identity_calib()
+    obj = _mk_obj(2.0, 20.0, 4.2, 1.8, ry=0.3, h=1.5)
+    text = seed_labels.objs2label([obj], calib)
+    f = tmp_path / "000000.txt"
+    f.write_text(text + "\n")
+    from modest_tpu.utils.kitti_io import read_label
+
+    parsed = read_label(f)[0]
+    assert parsed.cls_type == "Dynamic"
+    np.testing.assert_allclose([parsed.l, parsed.w, parsed.h], [4.2, 1.8, 1.5], atol=1e-3)
+    np.testing.assert_allclose(parsed.t, obj.t, atol=1e-3)
+    np.testing.assert_allclose(parsed.ry, 0.3, atol=1e-4)
+    # alpha written per the reference formula
+    np.testing.assert_allclose(parsed.alpha, -np.arctan2(2.0, 20.0) + 0.3, atol=1e-3)
+
+
+def test_combine_labels_fusion(rng):
+    calib = _identity_calib()
+    pts_rect = rng.uniform(-1, 1, (300, 3)) * [2, 0.7, 1] + [0, -0.7, 10]
+    pp = np.full(300, 0.05)
+    det_preds = {
+        "location": np.array([[0.0, 0.0, 10.0], [50.0, 0.0, 90.0]]),
+        "dimensions": np.array([[4.0, 1.5, 2.0], [4.0, 1.5, 2.0]]),  # l h w
+        "rotation_y": np.array([0.0, 0.0]),
+        "score": np.array([0.9, 0.8]),
+    }
+    gen_objs = [_mk_obj(0.1, 10.0, 4, 2)]  # overlaps detection 1 → NMS removes it
+    cfg = Config(
+        {
+            "det_filtering": {"pp_score_percentile": 50, "pp_score_threshold": 0.5,
+                              "score_filtering": -1},
+            "nms": {"threshold": 0.1},
+            "fov_only": False,
+            "image_shape": [1024, 1224],
+        }
+    )
+    objs = seed_labels.combine_labels_for_frame(det_preds, gen_objs, pts_rect, pp, calib, cfg)
+    # detection 2 has no points → PP filter rejects; detection 1 survives and
+    # suppresses the overlapping seed box (score −999+8 < 0.9)
+    assert len(objs) == 1
+    assert objs[0].score == 0.9
