@@ -139,6 +139,52 @@ def save_config(config: Config, path):
         yaml.safe_dump(config.to_dict(), f, default_flow_style=None, sort_keys=False)
 
 
+def resolve_interpolations(cfg: Config, root: Config | None = None) -> Config:
+    """Resolve ``${a.b.c}`` references against the root config (hydra-lite).
+
+    Runs repeatedly until fixed point so chained references resolve.
+    """
+    import re
+
+    root = cfg if root is None else root
+    pattern = re.compile(r"\$\{([a-zA-Z0-9_.]+)\}")
+
+    def lookup(path):
+        d = root
+        for part in path.split("."):
+            d = d[part]
+        return d
+
+    def resolve_str(s):
+        m = pattern.fullmatch(s)
+        if m:  # whole-string reference: preserve the referenced type
+            return lookup(m.group(1))
+        return pattern.sub(lambda mm: str(lookup(mm.group(1))), s)
+
+    def walk(node):
+        changed = False
+        if isinstance(node, Config):
+            for k, v in list(node.items()):
+                if isinstance(v, str) and pattern.search(v):
+                    node[k] = resolve_str(v)
+                    changed = True
+                elif isinstance(v, (Config, list)):
+                    changed |= walk(v)
+        elif isinstance(node, list):
+            for i, v in enumerate(node):
+                if isinstance(v, str) and pattern.search(v):
+                    node[i] = resolve_str(v)
+                    changed = True
+                elif isinstance(v, (Config, list)):
+                    changed |= walk(v)
+        return changed
+
+    for _ in range(10):
+        if not walk(cfg):
+            break
+    return cfg
+
+
 def log_config_to_file(cfg: Config, pre="cfg", logger=None):
     emit = logger.info if logger is not None else print
     for key, val in cfg.items():
