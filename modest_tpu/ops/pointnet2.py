@@ -1,0 +1,204 @@
+"""PointNet++ primitive ops — TPU-native (pure XLA, static shapes).
+
+Replaces the reference's CUDA extensions (pcdet/ops/pointnet2/pointnet2_batch/
+src/*.cu): furthest point sampling, ball query, grouping, three-NN
+interpolation, gather. Semantics matched to the kernels:
+
+  * FPS starts from index 0 and iteratively picks the point with maximal
+    min-distance to the selected set (sampling_gpu.cu:101).
+  * ball query returns the first `nsample` in-radius points in index order;
+    the first hit is replicated into unfilled slots; an empty ball yields
+    index 0 (ball_query_gpu.cu semantics incl. the zero-init).
+  * three_nn returns the 3 nearest neighbors; interpolation weights are
+    inverse-distance normalized (interpolate_gpu.cu).
+
+Pairwise distances use |x|^2+|y|^2-2xy with the cross term in fp32 on the
+MXU (precision=HIGHEST); results are clamped at 0.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_DOT_KW = dict(precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32)
+
+
+def pairwise_dist2(a, b):
+    """(..., N, 3), (..., M, 3) → (..., N, M) squared distances (fp32 exact)."""
+    a_sq = (a * a).sum(-1)
+    b_sq = (b * b).sum(-1)
+    cross = jnp.einsum("...nc,...mc->...nm", a, b, **_DOT_KW)
+    return jnp.maximum(a_sq[..., :, None] + b_sq[..., None, :] - 2.0 * cross, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# furthest point sampling
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("npoint",))
+def furthest_point_sample(xyz, npoint: int):
+    """(B, N, 3) → (B, npoint) int32 indices. Sequential argmax with the
+    running min-distance vector kept on-chip (VPU)."""
+
+    def single(pts):
+        n = pts.shape[0]
+
+        def body(i, state):
+            dists, idxs, last = state
+            d = ((pts - pts[last]) ** 2).sum(-1)
+            dists = jnp.minimum(dists, d)
+            nxt = jnp.argmax(dists).astype(jnp.int32)
+            idxs = idxs.at[i].set(nxt)
+            return dists, idxs, nxt
+
+        dists0 = jnp.full((n,), 1e10, jnp.float32)
+        idxs0 = jnp.zeros((npoint,), jnp.int32)  # slot 0 = point 0
+        dists, idxs, _ = jax.lax.fori_loop(1, npoint, body, (dists0, idxs0, jnp.int32(0)))
+        return idxs
+
+    return jax.vmap(single)(xyz)
+
+
+def gather_points(points, idx):
+    """(B, N, C), (B, M) → (B, M, C)."""
+    return jnp.take_along_axis(points, idx[..., None], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# ball query + grouping
+# ---------------------------------------------------------------------------
+
+
+def ball_query_from_dist2(d2, radius: float, nsample: int):
+    """d2: (..., M, N) squared dists from M centers to N source points.
+
+    Returns (..., M, nsample) int32 indices with reference fill semantics.
+    """
+    n = d2.shape[-1]
+    in_ball = d2 < radius * radius  # kernel uses strict d2 < r2
+    col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, d2.ndim - 1)
+    # rank by index: valid hits keep -index (larger = earlier), invalid -> -inf
+    score = jnp.where(in_ball, -col.astype(jnp.float32), -jnp.inf)
+    top_scores, top_idx = jax.lax.top_k(score, nsample)  # earliest indices first
+    valid = jnp.isfinite(top_scores)
+    first = top_idx[..., 0:1]  # first in-ball hit (or garbage if none)
+    any_hit = valid[..., 0:1]
+    filled = jnp.where(valid, top_idx, first)
+    return jnp.where(any_hit, filled, 0).astype(jnp.int32), valid & any_hit
+
+
+def query_and_group(xyz, new_xyz, features, d2, radius: float, nsample: int,
+                    use_xyz: bool = True):
+    """Group features around centers (reference QueryAndGroup).
+
+    xyz: (B, N, 3); new_xyz: (B, M, 3); features: (B, N, C) or None;
+    d2: (B, M, N) precomputed (shared across the MSG radii).
+    Returns (B, M, nsample, 3+C or C or 3).
+    """
+    idx, _ = ball_query_from_dist2(d2, radius, nsample)  # (B, M, ns)
+    b, m, ns = idx.shape
+    flat = idx.reshape(b, m * ns)
+    grouped_xyz = gather_points(xyz, flat).reshape(b, m, ns, 3) - new_xyz[:, :, None, :]
+    if features is None:
+        assert use_xyz
+        return grouped_xyz
+    grouped_feat = gather_points(features, flat).reshape(b, m, ns, features.shape[-1])
+    if use_xyz:
+        return jnp.concatenate([grouped_xyz, grouped_feat], axis=-1)
+    return grouped_feat
+
+
+def group_all(xyz, features, use_xyz: bool = True):
+    """(B, N, 3), (B, N, C) → (B, 1, N, 3+C) (reference GroupAll)."""
+    grouped = xyz[:, None, :, :]
+    if features is not None:
+        feats = features[:, None, :, :]
+        return jnp.concatenate([grouped, feats], axis=-1) if use_xyz else feats
+    return grouped
+
+
+# ---------------------------------------------------------------------------
+# three-NN interpolation
+# ---------------------------------------------------------------------------
+
+
+def three_nn(unknown, known):
+    """(B, n, 3), (B, m, 3) → (dist (B,n,3), idx (B,n,3)).
+
+    Candidates come from the fast matmul distances; the 3 winners are then
+    recomputed elementwise so exact zeros survive (the CUDA kernel subtracts
+    coordinates directly — matmul cancellation would turn 0 into ~1e-6 and
+    skew the inverse-distance weights).
+    """
+    d2 = pairwise_dist2(unknown, known)
+    _, idx = jax.lax.top_k(-d2, 3)
+    idx = idx.astype(jnp.int32)
+    b, n, _ = idx.shape
+    nbr = gather_points(known, idx.reshape(b, -1)).reshape(b, n, 3, 3)
+    exact = ((nbr - unknown[:, :, None, :]) ** 2).sum(-1)
+    return jnp.sqrt(exact), idx
+
+
+def three_interpolate(features, idx, weight):
+    """(B, m, C), (B, n, 3), (B, n, 3) → (B, n, C)."""
+    b, n, _ = idx.shape
+    gathered = gather_points(features, idx.reshape(b, -1)).reshape(b, n, 3, -1)
+    return (gathered * weight[..., None]).sum(axis=2)
+
+
+def interpolate_features(unknown, known, known_feats):
+    """Full FP interpolation step (reference PointnetFPModule:152-158)."""
+    dist, idx = three_nn(unknown, known)
+    dist_recip = 1.0 / (dist + 1e-8)
+    weight = dist_recip / dist_recip.sum(-1, keepdims=True)
+    return three_interpolate(known_feats, idx, weight)
+
+
+# ---------------------------------------------------------------------------
+# RoI point pooling (reference ops/roipoint_pool3d)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("num_sampled_points",))
+def roipoint_pool3d(points, point_features, boxes3d, num_sampled_points: int = 512,
+                    pool_extra_width=(0.0, 0.0, 0.0)):
+    """Pool raw points + features inside (enlarged) rois.
+
+    points: (B, N, 3); point_features: (B, N, C); boxes3d: (B, R, 7).
+    Returns pooled (B, R, num_sampled_points, 3+C), empty_flag (B, R) int32.
+
+    Matches roipoint_pool3d_kernel.cu: the first in-box points in index
+    order fill the slots; short boxes wrap-fill from the start; empty boxes
+    are flagged (and later zeroed by the head).
+    """
+    ex = jnp.asarray(pool_extra_width, jnp.float32)
+    big = boxes3d.at[..., 3:6].add(ex)
+
+    def per_box(pts, feats, box):
+        shift = pts - box[0:3]
+        c, s = jnp.cos(-box[6]), jnp.sin(-box[6])
+        lx = shift[:, 0] * c - shift[:, 1] * s
+        ly = shift[:, 0] * s + shift[:, 1] * c
+        in_box = (
+            (jnp.abs(shift[:, 2]) <= box[5] / 2)
+            & (jnp.abs(lx) <= box[3] / 2)
+            & (jnp.abs(ly) <= box[4] / 2)
+        )
+        n = pts.shape[0]
+        col = jnp.arange(n, dtype=jnp.int32)
+        score = jnp.where(in_box, -col.astype(jnp.float32), -jnp.inf)
+        top_scores, top_idx = jax.lax.top_k(score, num_sampled_points)
+        valid = jnp.isfinite(top_scores)
+        cnt = valid.sum().astype(jnp.int32)
+        slot = jnp.arange(num_sampled_points, dtype=jnp.int32)
+        src = jnp.where(cnt > 0, slot % jnp.maximum(cnt, 1), 0)
+        sel = top_idx[src]
+        pooled = jnp.concatenate([pts[sel], feats[sel]], axis=-1)
+        return pooled, (cnt == 0).astype(jnp.int32)
+
+    return jax.vmap(  # over batch
+        lambda pts, feats, boxes: jax.vmap(lambda b: per_box(pts, feats, b))(boxes)
+    )(points, point_features, big)
