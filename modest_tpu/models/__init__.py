@@ -1,0 +1,17 @@
+from .pointrcnn import PointRCNN  # noqa: F401
+
+
+def build_network(model_cfg, num_class: int, dataset):
+    """Instantiate a detector from a model config (reference build_network)."""
+    name = model_cfg.NAME
+    if name == "PointRCNN":
+        return PointRCNN(model_cfg=model_cfg, num_class=num_class,
+                         point_cloud_range=dataset.point_cloud_range)
+    if name in ("SECONDNet", "PointPillar"):
+        from .grid_detectors import GridDetector
+
+        return GridDetector(model_cfg=model_cfg, num_class=num_class,
+                            point_cloud_range=dataset.point_cloud_range,
+                            voxel_size=dataset.voxel_size,
+                            grid_size=dataset.grid_size)
+    raise NotImplementedError(name)

@@ -29,10 +29,16 @@ class Config(dict):
 
     @staticmethod
     def _wrap(v):
-        if isinstance(v, dict) and not isinstance(v, Config):
+        import collections.abc
+
+        if isinstance(v, Config):
+            return v
+        if isinstance(v, collections.abc.Mapping):  # dict, FrozenDict, ...
             return Config(v)
-        if isinstance(v, (list, tuple)):
-            return type(v)(Config._wrap(x) for x in v)
+        if isinstance(v, list):
+            return [Config._wrap(x) for x in v]
+        if isinstance(v, tuple):
+            return tuple(Config._wrap(x) for x in v)
         return v
 
     def __setitem__(self, k, v):
