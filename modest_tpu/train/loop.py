@@ -1,0 +1,163 @@
+"""Epoch-level train / eval loops (reference tools/train_utils/train_utils.py
++ tools/eval_utils/eval_utils.py)."""
+from __future__ import annotations
+
+import pickle
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel.mesh import shard_batch
+from .checkpoint import save_checkpoint
+from .optim import current_lr
+from .state import make_eval_step, make_train_step
+
+
+def train_model(model, model_cfg, optimizer, state, loader, *, mesh=None,
+                start_epoch: int, total_epochs: int, ckpt_manager=None,
+                ckpt_save_interval: int = 1, logger=None, rng_seed: int = 666,
+                log_interval: int = 50, merge_all_iters_to_one_epoch: bool = False):
+    train_step = make_train_step(model, model_cfg, optimizer, mesh)
+    rng = jax.random.PRNGKey(rng_seed)
+    log = logger.info if logger else print
+
+    if merge_all_iters_to_one_epoch:
+        # the dataset already multiplies its length; run "one epoch" per save
+        epochs_iter = range(start_epoch, total_epochs)
+    else:
+        epochs_iter = range(start_epoch, total_epochs)
+
+    for epoch in epochs_iter:
+        loader.set_epoch(epoch)
+        t0 = time.time()
+        n_it = 0
+        last_metrics = {}
+        for batch in loader:
+            if mesh is not None:
+                batch = shard_batch(mesh, batch)
+            state, metrics = train_step(
+                state, jnp.asarray(batch["points"]), jnp.asarray(batch["gt_boxes"]), rng
+            )
+            n_it += 1
+            if n_it % log_interval == 0:
+                last_metrics = {k: float(v) for k, v in metrics.items()}
+                log(
+                    f"epoch {epoch} it {n_it}/{len(loader)} "
+                    f"loss {last_metrics['loss']:.4f} lr {current_lr(state.opt_state):.6f}"
+                )
+        last_metrics = {k: float(v) for k, v in metrics.items()} if n_it else {}
+        log(
+            f"epoch {epoch} done in {time.time() - t0:.1f}s "
+            + " ".join(f"{k}={v:.4f}" for k, v in last_metrics.items())
+        )
+        if ckpt_manager is not None and (epoch + 1) % ckpt_save_interval == 0:
+            save_checkpoint(ckpt_manager, jax.device_get(state), epoch + 1)
+    return state
+
+
+def _trim_predictions(final, batch):
+    """Device outputs (padded) → per-sample trimmed numpy pred dicts."""
+    boxes = np.asarray(final["boxes"])
+    scores = np.asarray(final["scores"])
+    labels = np.asarray(final["labels"])
+    valid = np.asarray(final["valid"])
+    preds = []
+    for i in range(len(boxes)):
+        v = valid[i]
+        preds.append(
+            {
+                "pred_boxes": boxes[i][v],
+                "pred_scores": scores[i][v],
+                "pred_labels": labels[i][v].astype(int),
+            }
+        )
+    return preds
+
+
+def _recall_update(recall_dict, final, gt_boxes, thresh_list):
+    """Online roi/rcnn recall vs gt (reference detector3d_template:283-325)."""
+    import jax.numpy as jnp
+
+    from ..ops.iou3d import boxes_iou3d
+
+    boxes = np.asarray(final["boxes"])
+    valid = np.asarray(final["valid"])
+    rois = np.asarray(final.get("rois")) if final.get("rois") is not None else None
+    for i in range(len(boxes)):
+        gt = gt_boxes[i]
+        gt = gt[np.abs(gt).sum(1) > 0]
+        if gt.shape[0] == 0:
+            continue
+        recall_dict["gt"] = recall_dict.get("gt", 0) + gt.shape[0]
+        dets = boxes[i][valid[i]]
+        for name, cand in (("rcnn", dets), ("roi", rois[i] if rois is not None else None)):
+            if cand is None:
+                continue
+            if cand.shape[0] == 0:
+                ious = np.zeros((1, gt.shape[0]))
+            else:
+                ious = np.asarray(
+                    boxes_iou3d(jnp.asarray(cand[:, :7], jnp.float32),
+                                jnp.asarray(gt[:, :7], jnp.float32))
+                )
+            for t in thresh_list:
+                key = f"{name}_{t}"
+                recall_dict[key] = recall_dict.get(key, 0) + int((ious.max(0) > t).sum())
+    return recall_dict
+
+
+def eval_one_epoch(model, model_cfg, state, loader, dataset, class_names, *,
+                   mesh=None, result_dir=None, logger=None, save_to_file=False):
+    eval_step = make_eval_step(model, model_cfg, mesh)
+    log = logger.info if logger else print
+    det_annos = []
+    seen = set()
+    recall_dict = {}
+    thresh_list = list(model_cfg.POST_PROCESSING.RECALL_THRESH_LIST)
+    t0 = time.time()
+    n_frames = 0
+    for batch in loader:
+        if mesh is not None:
+            batch = shard_batch(mesh, batch)
+        final = eval_step(state, jnp.asarray(batch["points"]))
+        final = jax.device_get(final)
+        preds = _trim_predictions(final, batch)
+        if "gt_boxes" in batch:
+            recall_dict = _recall_update(
+                recall_dict, final, np.asarray(batch["gt_boxes"]), thresh_list
+            )
+        annos = dataset.generate_prediction_dicts(
+            batch, preds, class_names,
+            output_path=result_dir if save_to_file else None,
+        )
+        for a in annos:
+            if a["frame_id"] in seen:  # wrap-padded tail batch
+                continue
+            seen.add(a["frame_id"])
+            det_annos.append(a)
+            n_frames += 1
+    sec_per_example = (time.time() - t0) / max(n_frames, 1)
+    log(f"eval: {n_frames} frames, {sec_per_example:.4f} sec_per_example")
+
+    if recall_dict.get("gt", 0) > 0:
+        for t in thresh_list:
+            for name in ("roi", "rcnn"):
+                k = f"{name}_{t}"
+                if k in recall_dict:
+                    log(f"recall_{k}: {recall_dict[k] / recall_dict['gt']:.4f}")
+
+    if result_dir is not None:
+        result_dir = Path(result_dir)
+        result_dir.mkdir(parents=True, exist_ok=True)
+        with open(result_dir / "result.pkl", "wb") as f:
+            pickle.dump(det_annos, f)
+
+    ret = {"sec_per_example": sec_per_example, "recall": recall_dict}
+    ap_str, ap_dict = dataset.evaluation(det_annos, class_names)
+    if ap_str is not None:
+        log(ap_str)
+    ret.update(ap_dict or {})
+    return det_annos, ret

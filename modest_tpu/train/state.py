@@ -1,0 +1,94 @@
+"""Train state + jitted train/eval steps (data-parallel over a mesh).
+
+Replaces the reference's train_one_epoch / model_fn_decorator
+(tools/train_utils/train_utils.py:9-65): one jitted SPMD step — batch inputs
+sharded over the mesh 'data' axis, parameters replicated, gradient reduction
+inserted by XLA over ICI.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.pointrcnn import pointrcnn_loss, post_process
+from ..parallel.mesh import batch_sharding, replicated
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(model, optimizer, sample_batch, seed: int = 666) -> TrainState:
+    variables = model.init(
+        {"params": jax.random.PRNGKey(seed), "sampler": jax.random.PRNGKey(seed + 1)},
+        jnp.asarray(sample_batch["points"]),
+        jnp.asarray(sample_batch["gt_boxes"]),
+        train=True,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=optimizer.init(params),
+    )
+
+
+def make_train_step(model, model_cfg, optimizer, mesh=None):
+    def train_step(state: TrainState, points, gt_boxes, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                points, gt_boxes, train=True,
+                rngs={"sampler": rng}, mutable=["batch_stats"],
+            )
+            loss, metrics = pointrcnn_loss(out, gt_boxes, model_cfg)
+            return loss, (metrics, mutated["batch_stats"])
+
+        grads, (metrics, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params,
+            batch_stats=new_bs, opt_state=new_opt,
+        )
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+    bs = batch_sharding(mesh)
+    rep = replicated(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(rep, bs, bs, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(model, model_cfg, mesh=None):
+    def eval_step(state: TrainState, points):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            points, train=False,
+        )
+        final = post_process(out, model_cfg.POST_PROCESSING)
+        final["rois"] = out["rois"]
+        return final
+
+    if mesh is None:
+        return jax.jit(eval_step)
+    bs = batch_sharding(mesh)
+    rep = replicated(mesh)
+    return jax.jit(eval_step, in_shardings=(rep, bs), out_shardings=bs)
