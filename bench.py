@@ -1,0 +1,80 @@
+"""Benchmark: PointRCNN (pointrcnn_dynamic_obj) inference throughput on one
+chip — scans/sec at the reference's operating point (12288 pts/scan, full
+proposal NMS + RoI refinement + post-processing NMS).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against 12.5 scans/sec — the ~80 ms/scan single-GPU
+PointRCNN inference figure commonly reported for OpenPCDet-class pipelines
+(the reference repo publishes no numbers of its own; see BASELINE.md).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_SCANS_PER_SEC = 12.5
+BATCH = 4
+WARMUP = 2
+ITERS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from modest_tpu.models.pointrcnn import PointRCNN, post_process
+    from modest_tpu.utils.config import cfg_from_yaml_file
+
+    cfg = cfg_from_yaml_file("configs/models/lyft_models/pointrcnn_dynamic_obj.yaml")
+    model = PointRCNN(model_cfg=cfg.MODEL, num_class=len(cfg.CLASS_NAMES))
+
+    rng = np.random.RandomState(0)
+    n = 12288
+    points = rng.uniform(0, 1, (BATCH, n, 4)).astype(np.float32)
+    points[..., 0] = points[..., 0] * 80  # x in [0, 80]
+    points[..., 1] = (points[..., 1] - 0.5) * 80
+    points[..., 2] = (points[..., 2] - 0.5) * 3 - 0.5
+    # plant some car-like clusters so the NMS path sees realistic box counts
+    for b in range(BATCH):
+        for k in range(10):
+            c = rng.uniform([5, -30, -1.6], [70, 30, -1.4])
+            sl = slice(k * 300, (k + 1) * 300)
+            points[b, sl, :3] = c + rng.uniform(-1, 1, (300, 3)) * [2, 0.9, 0.7]
+
+    gt = np.zeros((BATCH, 8, 8), np.float32)
+    gt[:, 0, :7] = [10, 0, -1.5, 4, 2, 1.6, 0.3]
+    gt[:, 0, 7] = 1
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampler": jax.random.PRNGKey(1)},
+        jnp.asarray(points), jnp.asarray(gt), train=True,
+    )
+
+    @jax.jit
+    def infer(variables, pts):
+        out = model.apply(variables, pts, train=False)
+        final = post_process(out, cfg.MODEL.POST_PROCESSING)
+        return final["boxes"], final["scores"], final["valid"]
+
+    pts_dev = jnp.asarray(points)
+    for _ in range(WARMUP):
+        r = infer(variables, pts_dev)
+        jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        r = infer(variables, pts_dev)
+        jax.block_until_ready(r)
+    dt = time.perf_counter() - t0
+    scans_per_sec = BATCH * ITERS / dt
+
+    print(json.dumps({
+        "metric": "pointrcnn_inference_scans_per_sec_per_chip",
+        "value": round(scans_per_sec, 3),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""CLI: train a detector (reference tools/train.py).
+
+Usage:
+  python -m modest_tpu.cli.train --cfg_file configs/models/lyft_models/pointrcnn_dynamic_obj.yaml \
+      [--batch_size B] [--epochs E] [--extra_tag TAG] [--fix_random_seed] \
+      [--merge_all_iters_to_one_epoch] [--set KEY VALUE ...]
+
+Instead of torch.distributed.launch + NCCL DDP, parallelism is a
+jax.sharding.Mesh over all local devices; batch_size is the GLOBAL batch
+(reference: per-GPU batch × world size).
+"""
+from __future__ import annotations
+
+import argparse
+import datetime
+import logging
+from pathlib import Path
+
+import numpy as np
+
+from ..data.loader import build_dataloader
+from ..models import build_network
+from ..parallel.mesh import make_mesh
+from ..train.checkpoint import make_manager, restore_checkpoint, save_checkpoint
+from ..train.loop import eval_one_epoch, train_model
+from ..train.optim import build_optimizer
+from ..train.state import create_train_state
+from ..utils.config import Config, cfg_from_list, cfg_from_yaml_file
+
+
+def create_logger(log_file=None):
+    logger = logging.getLogger("modest_tpu")
+    logger.setLevel(logging.INFO)
+    logger.handlers.clear()
+    fmt = logging.Formatter("%(asctime)s  %(levelname)5s  %(message)s")
+    sh = logging.StreamHandler()
+    sh.setFormatter(fmt)
+    logger.addHandler(sh)
+    if log_file is not None:
+        fh = logging.FileHandler(log_file)
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
+    return logger
+
+
+def parse_config(argv=None):
+    parser = argparse.ArgumentParser(description="train a detector")
+    parser.add_argument("--cfg_file", type=str, required=True)
+    parser.add_argument("--batch_size", type=int, default=None, help="global batch size")
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--extra_tag", type=str, default="default")
+    parser.add_argument("--ckpt", type=str, default=None)
+    parser.add_argument("--fix_random_seed", action="store_true")
+    parser.add_argument("--ckpt_save_interval", type=int, default=1)
+    parser.add_argument("--max_ckpt_save_num", type=int, default=30)
+    parser.add_argument("--merge_all_iters_to_one_epoch", action="store_true")
+    parser.add_argument("--num_devices", type=int, default=None)
+    parser.add_argument("--max_gt", type=int, default=64)
+    parser.add_argument("--data_path", type=str, default=None,
+                        help="override DATA_CONFIG.DATA_PATH")
+    parser.add_argument("--output_dir", type=str, default=None)
+    parser.add_argument("--eval_after_train", action="store_true")
+    parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
+    args = parser.parse_args(argv)
+
+    cfg = cfg_from_yaml_file(args.cfg_file)
+    cfg.TAG = Path(args.cfg_file).stem
+    if args.set_cfgs is not None:
+        cfg_from_list(args.set_cfgs, cfg)
+    if args.data_path is not None:
+        cfg.DATA_CONFIG.DATA_PATH = args.data_path
+    return args, cfg
+
+
+def main(argv=None):
+    args, cfg = parse_config(argv)
+    if args.fix_random_seed:
+        np.random.seed(666)
+
+    out_root = Path(args.output_dir) if args.output_dir else Path("output") / cfg.TAG / args.extra_tag
+    ckpt_dir = out_root / "ckpt"
+    out_root.mkdir(parents=True, exist_ok=True)
+    logger = create_logger(out_root / f"log_train_{datetime.datetime.now():%Y%m%d-%H%M%S}.txt")
+    logger.info(f"config: {args.cfg_file}; output: {out_root}")
+
+    mesh = make_mesh(args.num_devices)
+    logger.info(f"mesh: {mesh}")
+    batch_size = args.batch_size or int(cfg.OPTIMIZATION.BATCH_SIZE_PER_GPU) * mesh.size
+    epochs = args.epochs or int(cfg.OPTIMIZATION.NUM_EPOCHS)
+
+    train_set, train_loader = build_dataloader(
+        cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size,
+        training=True, logger=logger, total_epochs=epochs,
+        merge_all_iters_to_one_epoch=args.merge_all_iters_to_one_epoch,
+        max_gt=args.max_gt,
+    )
+    total_steps = len(train_loader) * epochs
+
+    model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset=train_set)
+    optimizer = build_optimizer(cfg.OPTIMIZATION, total_steps)
+
+    sample = next(iter(train_loader))
+    state = create_train_state(model, optimizer, sample)
+    n_params = sum(int(np.prod(p.shape)) for p in
+                   __import__("jax").tree_util.tree_leaves(state.params))
+    logger.info(f"model params: {n_params / 1e6:.2f}M, total steps: {total_steps}")
+
+    manager = make_manager(ckpt_dir, max_to_keep=args.max_ckpt_save_num)
+    start_epoch = 0
+    restored, last_epoch = restore_checkpoint(manager, state)
+    if restored is not None:
+        state = restored
+        start_epoch = last_epoch
+        logger.info(f"resumed from epoch {last_epoch}")
+
+    state = train_model(
+        model, cfg.MODEL, optimizer, state, train_loader,
+        mesh=mesh, start_epoch=start_epoch, total_epochs=epochs,
+        ckpt_manager=manager, ckpt_save_interval=args.ckpt_save_interval,
+        logger=logger,
+        merge_all_iters_to_one_epoch=args.merge_all_iters_to_one_epoch,
+    )
+    save_checkpoint(manager, __import__("jax").device_get(state), epochs)
+    logger.info("training finished")
+
+    if args.eval_after_train:
+        eval_set, eval_loader = build_dataloader(
+            cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size,
+            training=False, logger=logger, max_gt=args.max_gt,
+        )
+        eval_loader.drop_last = False
+        result_dir = out_root / "eval" / f"epoch_{epochs}" / "val"
+        result_dir.mkdir(parents=True, exist_ok=True)
+        eval_one_epoch(
+            model, cfg.MODEL, state, eval_loader, eval_set, cfg.CLASS_NAMES,
+            mesh=mesh, result_dir=result_dir, logger=logger,
+        )
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -294,7 +294,8 @@ class KittiDataset:
             return self.__getitem__(np.random.randint(len(self)))
 
         data_dict.pop("gt_names", None)
-        data_dict.pop("calib", None)
+        if self.training:  # eval keeps calib for prediction→camera conversion
+            data_dict.pop("calib", None)
         data_dict.pop("road_plane", None)
         return data_dict
 
@@ -389,3 +390,23 @@ def create_kitti_infos(dataset_cfg, class_names, data_path, save_path, if_val=Tr
     dataset.set_split("train")
     dataset.create_groundtruth_database(train_file, split="train")
     print("Data preparation done")
+
+
+if __name__ == "__main__":
+    # python -m modest_tpu.data.kitti_dataset create_kitti_infos <dataset_cfg.yaml> [data_path] [if_val]
+    # (mirrors the reference's `python -m pcdet.datasets.kitti.kitti_dataset`)
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "create_kitti_infos":
+        from ..utils.config import cfg_from_yaml_file
+
+        dataset_cfg = cfg_from_yaml_file(sys.argv[2])
+        data_path = sys.argv[3] if len(sys.argv) > 3 else dataset_cfg.DATA_PATH
+        if_val = sys.argv[4] == "True" if len(sys.argv) > 4 else True
+        create_kitti_infos(
+            dataset_cfg=dataset_cfg,
+            class_names=["Dynamic"],
+            data_path=data_path,
+            save_path=data_path,
+            if_val=if_val,
+        )

@@ -1,0 +1,232 @@
+"""3D sparse convolution as gather-scatter over active voxels — the
+TPU-native substitute for spconv (reference backbones_3d/spconv_backbone.py,
+VoxelBackBone8x).
+
+Design: the active voxel set is a sorted, padded list of flat keys. A
+submanifold conv gathers each voxel's 27 neighbors by binary search over the
+sorted keys and contracts (V, 27·Cin) × (27·Cin, Cout) on the MXU. A strided
+sparse conv first enumerates candidate output sites (≤8 per input for
+k3s2), dedups them with a sort-based unique, then gathers its input window
+the same way. All shapes static; invalid voxels ride along masked.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .layers import MaskedBatchNorm
+
+OFFSETS3 = jnp.array(
+    [[dz, dy, dx] for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+    jnp.int32,
+)  # (27, 3) in (z, y, x) order
+
+
+def flat_key(coords, shape_zyx):
+    """(..., 3) zyx coords → flat keys; out-of-bounds/invalid → big sentinel."""
+    nz, ny, nx = shape_zyx
+    big = nz * ny * nx
+    inb = ((coords >= 0) & (coords < jnp.array([nz, ny, nx]))).all(-1)
+    key = coords[..., 0] * ny * nx + coords[..., 1] * nx + coords[..., 2]
+    return jnp.where(inb, key, big), inb
+
+
+def gather_neighbors(feats, keys, valid, coords, shape_zyx, offsets=OFFSETS3,
+                     center_coords=None, stride: int = 1):
+    """For each (output) voxel, gather features of its kernel-window inputs.
+
+    feats (V, C) input features; keys (V,) sorted input keys; valid (V,);
+    coords: output voxel coords (Vo, 3) zyx. Window input coords =
+    stride*coord + offset (padding folded into offsets by the caller).
+    Returns (Vo, K, C) gathered features (0 where missing).
+    """
+    base = coords * stride if stride != 1 else coords
+    nbr = base[:, None, :] + offsets[None, :, :]  # (Vo, K, 3)
+    nbr_key, inb = flat_key(nbr, shape_zyx)
+    idx = jnp.searchsorted(keys, nbr_key).astype(jnp.int32)
+    idx_c = jnp.clip(idx, 0, keys.shape[0] - 1)
+    hit = inb & (keys[idx_c] == nbr_key) & valid[idx_c]
+    gathered = feats[idx_c] * hit[..., None]
+    return gathered
+
+
+class SubMConv3d(nn.Module):
+    """Submanifold conv: outputs live exactly on the input active set."""
+
+    out_channels: int
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, feats, coords, keys, valid, shape_zyx):
+        k3 = self.kernel ** 3
+        cin = feats.shape[-1]
+        w = self.param(
+            "kernel", nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+            (k3 * cin, self.out_channels),
+        )
+        gathered = gather_neighbors(feats, keys, valid, coords, shape_zyx)
+        out = jnp.dot(
+            gathered.reshape(-1, k3 * cin), w,
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.where(valid[:, None], out, 0.0)
+
+
+def downsample_active_set(coords, keys, valid, shape_zyx, out_shape_zyx,
+                          stride, padding, max_out: int):
+    """Active output sites of a k3 strided sparse conv.
+
+    For kernel 3 / stride s / padding p: output o covers inputs
+    i ∈ [s·o − p, s·o − p + 2]. Candidate outputs per input along one dim:
+    o ∈ [ceil((i + p − 2)/s), floor((i + p)/s)] — at most 2 for s ∈ {1, 2}.
+    Dedups candidates via sort-unique, capped at max_out.
+    """
+    stride = jnp.asarray(stride, jnp.int32)
+    padding = jnp.asarray(padding, jnp.int32)
+    nz, ny, nx = out_shape_zyx
+    big = nz * ny * nx
+
+    # two candidates per dim: floor((i + p)/s) and floor((i + p)/s) - 1
+    hi = (coords + padding) // stride  # (V, 3)
+    cands = []
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                c = hi - jnp.array([dz, dy, dx], jnp.int32)
+                # keep candidate only if the input is inside its window
+                lo_in = c * stride - padding
+                ok = ((coords >= lo_in) & (coords <= lo_in + 2)).all(-1)
+                ok &= ((c >= 0) & (c < jnp.array([nz, ny, nx]))).all(-1)
+                key = jnp.where(
+                    ok & valid, c[:, 0] * ny * nx + c[:, 1] * nx + c[:, 2], big
+                )
+                cands.append(key)
+    all_keys = jnp.concatenate(cands)  # (8V,)
+    skeys = jnp.sort(all_keys)
+    is_first = jnp.concatenate([jnp.ones((1,), bool), skeys[1:] != skeys[:-1]]) & (skeys < big)
+    rank = jnp.cumsum(is_first) - 1
+    slot = jnp.where(is_first, rank, max_out)
+    out_keys = jnp.full((max_out + 1,), big, jnp.int32).at[slot].set(
+        skeys.astype(jnp.int32), mode="drop"
+    )[:max_out]
+    out_valid = out_keys < big
+    oz = out_keys // (ny * nx)
+    oy = (out_keys // nx) % ny
+    ox = out_keys % nx
+    return jnp.stack([oz, oy, ox], axis=1), out_keys, out_valid
+
+
+class SparseConv3d(nn.Module):
+    """Strided sparse conv: output active set = downsampled input set."""
+
+    out_channels: int
+    stride: tuple
+    padding: tuple
+    kernel: tuple = (3, 3, 3)
+    max_out: int | None = None  # defaults to len(input set)
+
+    @nn.compact
+    def __call__(self, feats, coords, keys, valid, shape_zyx, out_shape_zyx):
+        kz, ky, kx = self.kernel
+        cin = feats.shape[-1]
+        kvol = kz * ky * kx
+        w = self.param(
+            "kernel", nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+            (kvol * cin, self.out_channels),
+        )
+        max_out = self.max_out or feats.shape[0]
+        out_coords, out_keys, out_valid = downsample_active_set(
+            coords, keys, valid, shape_zyx, out_shape_zyx,
+            jnp.array(self.stride, jnp.int32), jnp.array(self.padding, jnp.int32),
+            max_out,
+        )
+        offsets = jnp.stack(
+            jnp.meshgrid(
+                jnp.arange(kz), jnp.arange(ky), jnp.arange(kx), indexing="ij"
+            ),
+            axis=-1,
+        ).reshape(-1, 3).astype(jnp.int32)
+        stride = jnp.array(self.stride, jnp.int32)
+        padding = jnp.array(self.padding, jnp.int32)
+        base = out_coords * stride - padding
+        nbr = base[:, None, :] + offsets[None, :, :]
+        nbr_key, inb = flat_key(nbr, shape_zyx)
+        idx = jnp.searchsorted(keys, nbr_key).astype(jnp.int32)
+        idx_c = jnp.clip(idx, 0, keys.shape[0] - 1)
+        hit = inb & (keys[idx_c] == nbr_key) & valid[idx_c]
+        gathered = feats[idx_c] * hit[..., None]
+        out = jnp.dot(
+            gathered.reshape(-1, kvol * cin), w, preferred_element_type=jnp.float32
+        )
+        out = jnp.where(out_valid[:, None], out, 0.0)
+        return out, out_coords, out_keys, out_valid
+
+
+class SparseBasicBlock(nn.Module):
+    """[SubMConv → MaskedBN → ReLU] — the unit of VoxelBackBone8x's stages."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, feats, coords, keys, valid, shape_zyx, train: bool = False):
+        x = SubMConv3d(self.out_channels)(feats, coords, keys, valid, shape_zyx)
+        x = MaskedBatchNorm()(x, valid, train=train)
+        return nn.relu(x)
+
+
+def _down_shape(shape, stride, padding, kernel=(3, 3, 3)):
+    return tuple(
+        (shape[i] + 2 * padding[i] - kernel[i]) // stride[i] + 1 for i in range(3)
+    )
+
+
+class VoxelBackBone8x(nn.Module):
+    """spconv VoxelBackBone8x equivalent (reference spconv_backbone.py:68-180).
+
+    Input: active voxels of the (41, ny, nx) grid with 4-ch mean features.
+    Output: dense (B-less) (2, ny/8, nx/8, 128) per sample → caller stacks.
+    """
+
+    @nn.compact
+    def __call__(self, feats, coords, keys, valid, shape_zyx, train: bool = False):
+        s1 = shape_zyx
+        x = SparseBasicBlock(16, name="conv_input")(feats, coords, keys, valid, s1, train)
+        x = SparseBasicBlock(16, name="conv1")(x, coords, keys, valid, s1, train)
+
+        def down(x, coords, keys, valid, s_in, cout, stride, padding, name):
+            s_out = _down_shape(s_in, stride, padding)
+            x, c, k, v = SparseConv3d(cout, stride, padding, name=name)(
+                x, coords, keys, valid, s_in, s_out
+            )
+            x = MaskedBatchNorm(name=name + "_bn")(x, v, train=train)
+            return nn.relu(x), c, k, v, s_out
+
+        x, c2, k2, v2, s2 = down(x, coords, keys, valid, s1, 32, (2, 2, 2), (1, 1, 1), "conv2_down")
+        x = SparseBasicBlock(32, name="conv2_a")(x, c2, k2, v2, s2, train)
+        x = SparseBasicBlock(32, name="conv2_b")(x, c2, k2, v2, s2, train)
+
+        x, c3, k3, v3, s3 = down(x, c2, k2, v2, s2, 64, (2, 2, 2), (1, 1, 1), "conv3_down")
+        x = SparseBasicBlock(64, name="conv3_a")(x, c3, k3, v3, s3, train)
+        x = SparseBasicBlock(64, name="conv3_b")(x, c3, k3, v3, s3, train)
+
+        x, c4, k4, v4, s4 = down(x, c3, k3, v3, s3, 64, (2, 2, 2), (0, 1, 1), "conv4_down")
+        x = SparseBasicBlock(64, name="conv4_a")(x, c4, k4, v4, s4, train)
+        x = SparseBasicBlock(64, name="conv4_b")(x, c4, k4, v4, s4, train)
+
+        # conv_out: kernel (3,1,1) stride (2,1,1) padding 0 → z: 5→2
+        s5 = _down_shape(s4, (2, 1, 1), (0, 0, 0), (3, 1, 1))
+        x, c5, k5, v5 = SparseConv3d(
+            128, (2, 1, 1), (0, 0, 0), kernel=(3, 1, 1), name="conv_out"
+        )(x, c4, k4, v4, s4, s5)
+        x = MaskedBatchNorm(name="conv_out_bn")(x, v5, train=train)
+        x = nn.relu(x)
+
+        # HeightCompression: scatter to dense (nz', ny', nx', C) → (ny', nx', nz'*C)
+        nz, ny, nx = s5
+        dense = jnp.zeros((nz * ny * nx + 1, x.shape[-1]), x.dtype)
+        key5 = jnp.where(v5, k5, nz * ny * nx)
+        dense = dense.at[key5].set(jnp.where(v5[:, None], x, 0.0))
+        dense = dense[:-1].reshape(nz, ny, nx, -1)
+        bev = jnp.transpose(dense, (1, 2, 0, 3)).reshape(ny, nx, nz * x.shape[-1])
+        return bev

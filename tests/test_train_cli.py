@@ -1,0 +1,92 @@
+"""End-to-end train→test CLI integration on the synthetic KITTI set (tiny model)."""
+import pickle
+
+import numpy as np
+import pytest
+import yaml
+
+from modest_tpu.utils.config import Config, cfg_from_yaml_file
+
+from synth_kitti import make_dataset
+from test_pointrcnn_model import tiny_model_cfg
+
+
+@pytest.fixture(scope="module")
+def synth_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kitti_train")
+    make_dataset(root, n_train=4, n_val=2, seed=3)
+    data_cfg = cfg_from_yaml_file("configs/datasets/lyft_dataset_dynamic_obj.yaml")
+    data_cfg.DATA_PROCESSOR = [
+        Config({"NAME": "mask_points_and_boxes_outside_range", "REMOVE_OUTSIDE_BOXES": True}),
+        Config({"NAME": "sample_points", "NUM_POINTS": {"train": 512, "test": 512}}),
+        Config({"NAME": "shuffle_points", "SHUFFLE_ENABLED": {"train": True, "test": False}}),
+    ]
+    data_cfg.DATA_PATH = str(root)
+    from modest_tpu.data.kitti_dataset import create_kitti_infos
+
+    create_kitti_infos(data_cfg, ["Dynamic"], root, root)
+
+    full = Config(
+        {
+            "CLASS_NAMES": ["Dynamic"],
+            "DATA_CONFIG": data_cfg,
+            "MODEL": tiny_model_cfg(),
+            "OPTIMIZATION": {
+                "BATCH_SIZE_PER_GPU": 1,
+                "NUM_EPOCHS": 1,
+                "OPTIMIZER": "adam_onecycle",
+                "LR": 0.002,
+                "WEIGHT_DECAY": 0.01,
+                "MOMENTUM": 0.9,
+                "MOMS": [0.95, 0.85],
+                "PCT_START": 0.4,
+                "DIV_FACTOR": 10,
+                "GRAD_NORM_CLIP": 10,
+            },
+        }
+    )
+    cfg_file = root / "tiny_pointrcnn.yaml"
+    with open(cfg_file, "w") as f:
+        yaml.safe_dump(full.to_dict(), f)
+    return root, cfg_file
+
+
+def test_train_then_eval_cli(synth_env):
+    root, cfg_file = synth_env
+    out_dir = root / "output"
+    from modest_tpu.cli import test as test_cli
+    from modest_tpu.cli import train as train_cli
+
+    state = train_cli.main(
+        [
+            "--cfg_file", str(cfg_file),
+            "--batch_size", "2",
+            "--epochs", "1",
+            "--num_devices", "2",
+            "--fix_random_seed",
+            "--output_dir", str(out_dir),
+        ]
+    )
+    assert state is not None
+    assert (out_dir / "ckpt").exists()
+
+    det_annos, metrics = test_cli.main(
+        [
+            "--cfg_file", str(cfg_file),
+            "--ckpt_dir", str(out_dir / "ckpt"),
+            "--batch_size", "2",
+            "--num_devices", "2",
+            "--output_dir", str(out_dir),
+        ]
+    )
+    # result.pkl written in the format combine_labels expects
+    result_files = list(out_dir.glob("eval/epoch_*/val/result.pkl"))
+    assert result_files
+    with open(result_files[0], "rb") as f:
+        results = pickle.load(f)
+    assert len(results) == 2  # val frames
+    for r in results:
+        for key in ["name", "location", "dimensions", "rotation_y", "score", "frame_id"]:
+            assert key in r
+    assert "Dynamic_bev_iou0.7/00-80_R40" in metrics
+    assert np.isfinite(metrics["sec_per_example"])
