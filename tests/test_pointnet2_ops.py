@@ -112,3 +112,14 @@ def test_roipoint_pool3d(rng):
     assert (np.abs(p[:, 2]) <= 0.75 + 1e-5).all()
     # wrap-fill: with ~100 in-box points, slot 100+ repeats from the start
     np.testing.assert_allclose(np.asarray(pooled)[0, 0, 0], np.asarray(pooled)[0, 0, 100], atol=0)
+
+
+def test_pallas_fps_matches_xla(rng):
+    """Pallas kernel (interpret mode on CPU) == XLA reference implementation."""
+    from modest_tpu.ops.pallas_fps import furthest_point_sample_pallas
+    from modest_tpu.ops.pointnet2 import _furthest_point_sample_xla
+
+    x = jnp.asarray(rng.randn(3, 256, 3).astype(np.float32) * 10)
+    want = np.asarray(_furthest_point_sample_xla(x, 64))
+    got = np.asarray(furthest_point_sample_pallas(x, 64, interpret=True))
+    np.testing.assert_array_equal(got, want)
