@@ -15,16 +15,12 @@ from ..utils import box_np
 
 
 def _bev_iou_cpu(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:
-    """Rotated BEV IoU on host via the JAX op (used only for collision tests
-    on tiny box sets)."""
-    import jax.numpy as jnp
-
-    from ..ops.iou3d import boxes_iou_bev
+    """Rotated BEV IoU on the host (native C++ library; JAX fallback)."""
+    from ..utils import native
 
     if boxes_a.shape[0] == 0 or boxes_b.shape[0] == 0:
         return np.zeros((boxes_a.shape[0], boxes_b.shape[0]), np.float32)
-    return np.array(boxes_iou_bev(jnp.asarray(boxes_a[:, :7], jnp.float32),
-                                  jnp.asarray(boxes_b[:, :7], jnp.float32)))
+    return native.bev_iou(boxes_a, boxes_b).astype(np.float32)
 
 
 class DataBaseSampler:
