@@ -24,6 +24,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from modest_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from modest_tpu.models.pointrcnn import PointRCNN, post_process
     from modest_tpu.utils.config import cfg_from_yaml_file
 

@@ -40,6 +40,9 @@ def main(argv=None):
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args(argv)
 
+    from ..utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = cfg_from_yaml_file(args.cfg_file)
     cfg.TAG = Path(args.cfg_file).stem
     if args.set_cfgs is not None:

@@ -73,6 +73,9 @@ def parse_config(argv=None):
 
 
 def main(argv=None):
+    from ..utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args, cfg = parse_config(argv)
     if args.fix_random_seed:
         np.random.seed(666)
