@@ -108,6 +108,9 @@ def main(argv=None):
                    __import__("jax").tree_util.tree_leaves(state.params))
     logger.info(f"model params: {n_params / 1e6:.2f}M, total steps: {total_steps}")
 
+    from ..train.metrics import MetricsLogger
+
+    metrics_logger = MetricsLogger(out_root)
     manager = make_manager(ckpt_dir, max_to_keep=args.max_ckpt_save_num)
     start_epoch = 0
     restored, last_epoch = restore_checkpoint(manager, state)
@@ -122,6 +125,7 @@ def main(argv=None):
         ckpt_manager=manager, ckpt_save_interval=args.ckpt_save_interval,
         logger=logger,
         merge_all_iters_to_one_epoch=args.merge_all_iters_to_one_epoch,
+        metrics_logger=metrics_logger,
     )
     save_checkpoint(manager, __import__("jax").device_get(state), epochs)
     logger.info("training finished")

@@ -19,7 +19,8 @@ from .state import make_eval_step, make_train_step
 def train_model(model, model_cfg, optimizer, state, loader, *, mesh=None,
                 start_epoch: int, total_epochs: int, ckpt_manager=None,
                 ckpt_save_interval: int = 1, logger=None, rng_seed: int = 666,
-                log_interval: int = 50, merge_all_iters_to_one_epoch: bool = False):
+                log_interval: int = 50, merge_all_iters_to_one_epoch: bool = False,
+                metrics_logger=None):
     train_step = make_train_step(model, model_cfg, optimizer, mesh)
     rng = jax.random.PRNGKey(rng_seed)
     log = logger.info if logger else print
@@ -44,10 +45,14 @@ def train_model(model, model_cfg, optimizer, state, loader, *, mesh=None,
             n_it += 1
             if n_it % log_interval == 0:
                 last_metrics = {k: float(v) for k, v in metrics.items()}
+                lr = current_lr(state.opt_state)
                 log(
                     f"epoch {epoch} it {n_it}/{len(loader)} "
-                    f"loss {last_metrics['loss']:.4f} lr {current_lr(state.opt_state):.6f}"
+                    f"loss {last_metrics['loss']:.4f} lr {lr:.6f}"
                 )
+                if metrics_logger is not None:
+                    metrics_logger.log(int(state.step), {**last_metrics, "lr": lr},
+                                       prefix="train/")
         last_metrics = {k: float(v) for k, v in metrics.items()} if n_it else {}
         log(
             f"epoch {epoch} done in {time.time() - t0:.1f}s "

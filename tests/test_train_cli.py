@@ -90,3 +90,27 @@ def test_train_then_eval_cli(synth_env):
             assert key in r
     assert "Dynamic_bev_iou0.7/00-80_R40" in metrics
     assert np.isfinite(metrics["sec_per_example"])
+
+
+def test_metrics_logger(tmp_path):
+    from modest_tpu.train.metrics import MetricsLogger
+
+    m = MetricsLogger(tmp_path, use_tensorboard=False)
+    m.log(1, {"loss": 2.5, "lr": 0.01}, prefix="train/")
+    m.log(2, {"loss": 2.0}, prefix="train/")
+    m.close()
+    import json
+
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert lines[0]["train/loss"] == 2.5
+    assert lines[1]["step"] == 2
+
+
+def test_plot_bev(tmp_path, rng):
+    from modest_tpu.utils.visualize import plot_bev
+
+    pts = rng.uniform(0, 50, (1000, 3))
+    boxes = np.array([[20, 0, 0, 4, 2, 1.5, 0.4]])
+    out = tmp_path / "bev.png"
+    plot_bev(pts, boxes=boxes, point_color=pts[:, 2], save_path=out)
+    assert out.exists() and out.stat().st_size > 1000
