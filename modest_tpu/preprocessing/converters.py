@@ -290,3 +290,195 @@ class LyftToKittiConverter:
                         kitti_label_line(o["detection_name"], o["box7"], o["bbox_2d"],
                                          o["truncated"], o["occluded"], o["alpha"]) + "\n"
                     )
+
+
+def find_closest_integer(query: int, ref_arr: np.ndarray):
+    """Index/value of the closest element (reference nusc2kitti_boston.py:28-33)."""
+    idx = int(np.argmin(np.abs(np.asarray(ref_arr, np.int64) - int(query))))
+    return idx, int(ref_arr[idx]), abs(int(ref_arr[idx]) - int(query))
+
+
+class NuscToKittiConverter:
+    """nuScenes (Boston) → KITTI export (reference nusc2kitti_boston.py).
+
+    Two export modes:
+      * annotated: the 2 Hz keyframe samples (with labels);
+      * full-rate: every LiDAR sweep (~20 Hz), camera frames matched by
+        closest timestamp — the multi-traversal PP-score source.
+    Requires the nuscenes devkit.
+    """
+
+    KITTI2NU_YAW = np.pi / 2  # nuScenes lidar is KITTI rotated by +90°
+
+    def __init__(self, store_dir, nusc_dir, version="v1.0-trainval",
+                 lidar_name="LIDAR_TOP", cam_name="CAM_FRONT",
+                 scene_tokens=None, convert_labels=True, convert_images=True):
+        try:
+            from nuscenes.nuscenes import NuScenes
+        except ImportError as e:
+            raise ImportError(
+                "the nuscenes devkit is required for the nuScenes converter; "
+                "the SDK-free math lives in modest_tpu.preprocessing.converters"
+            ) from e
+        from nuscenes.nuscenes import NuScenes
+
+        self.nusc = NuScenes(version=version, dataroot=nusc_dir)
+        self.store_dir = Path(store_dir) / "training"
+        self.lidar_name = lidar_name
+        self.cam_name = cam_name
+        self.scene_tokens = scene_tokens
+        self.convert_labels = convert_labels
+        self.convert_images = convert_images
+        for sub in ["label_2", "calib", "image_2", "velodyne", "oxts", "l2e"]:
+            (self.store_dir / sub).mkdir(parents=True, exist_ok=True)
+
+    def _scenes(self):
+        scenes = self.nusc.scene
+        if self.scene_tokens is not None:
+            scenes = [s for s in scenes if s["token"] in self.scene_tokens]
+        return scenes
+
+    def samples_full_rate(self):
+        """(lidar_token, cam_token) pairs at ~20 Hz + per-scene track list
+        (reference _split_to_samples:502-546)."""
+        samples, track_list = [], []
+        cnt = 0
+        for scene in self._scenes():
+            track_list.append([])
+            first = self.nusc.get("sample", scene["first_sample_token"])
+            ld_tokens, ld_ts = [], []
+            tok = first["data"][self.lidar_name]
+            while tok:
+                sd = self.nusc.get("sample_data", tok)
+                ld_tokens.append(tok)
+                ld_ts.append(sd["timestamp"])
+                tok = sd["next"]
+            cam_tokens, cam_ts = [], []
+            tok = first["data"][self.cam_name]
+            while tok:
+                sd = self.nusc.get("sample_data", tok)
+                cam_tokens.append(tok)
+                cam_ts.append(sd["timestamp"])
+                tok = sd["next"]
+            cam_ts = np.array(cam_ts)
+            for i, lt in enumerate(ld_tokens):
+                ci, _, _ = find_closest_integer(ld_ts[i], cam_ts)
+                samples.append((lt, cam_tokens[ci]))
+                track_list[-1].append(cnt)
+                cnt += 1
+        return samples, track_list
+
+    def samples_annotated(self):
+        """2 Hz keyframes with annotation tokens (reference :548-570)."""
+        tokens = {s["token"] for s in self._scenes()}
+        samples, seq_map = [], {}
+        cnt = 0
+        for sample in self.nusc.sample:
+            if sample["scene_token"] not in tokens:
+                continue
+            entry = [sample["data"][self.lidar_name], sample["data"][self.cam_name]]
+            if self.convert_labels:
+                entry.append(sample["anns"])
+            samples.append(entry)
+            seq_map.setdefault(sample["scene_token"], []).append(cnt)
+            cnt += 1
+        return samples, seq_map
+
+    def process_pair(self, index, lidar_token, cam_token, ann_tokens=None):
+        """Write one frame's velodyne/calib/image/oxts/l2e (+labels)."""
+        nusc = self.nusc
+        sd_lid = nusc.get("sample_data", lidar_token)
+        cs_lid = nusc.get("calibrated_sensor", sd_lid["calibrated_sensor_token"])
+        ego_lid = nusc.get("ego_pose", sd_lid["ego_pose_token"])
+        sd_cam = nusc.get("sample_data", cam_token)
+        cs_cam = nusc.get("calibrated_sensor", sd_cam["calibrated_sensor_token"])
+        ego_cam = nusc.get("ego_pose", sd_cam["ego_pose_token"])
+        name = f"{index:06d}"
+
+        with open(self.store_dir / "oxts" / f"{name}.txt", "w") as f:
+            f.write(oxts_line_from_pose(ego_lid["translation"], ego_lid["rotation"]))
+        np.save(self.store_dir / "l2e" / f"{name}.npy",
+                form_trans_mat(cs_lid["translation"], cs_lid["rotation"]))
+
+        lid_to_ego = transform_matrix(cs_lid["translation"], cs_lid["rotation"])
+        ego_to_world = transform_matrix(ego_lid["translation"], ego_lid["rotation"])
+        world_to_cam_ego = transform_matrix(ego_cam["translation"], ego_cam["rotation"], True)
+        ego_to_cam = transform_matrix(cs_cam["translation"], cs_cam["rotation"], True)
+        velo_to_cam = ego_to_cam @ world_to_cam_ego @ ego_to_world @ lid_to_ego
+        k2n = np.eye(4)
+        half = self.KITTI2NU_YAW / 2
+        k2n[:3, :3] = quat_to_matrix([np.cos(half), 0, 0, np.sin(half)])
+        velo_to_cam_kitti = velo_to_cam @ k2n
+
+        P2 = np.zeros((3, 4))
+        P2[:3, :3] = cs_cam["camera_intrinsic"]
+        write_kitti_calib(self.store_dir / "calib" / f"{name}.txt", P2, velo_to_cam_kitti)
+
+        import os.path as osp
+
+        pts = np.fromfile(
+            osp.join(nusc.dataroot, sd_lid["filename"]), dtype=np.float32
+        ).reshape(-1, 5)[:, :4]
+        rot = quat_to_matrix([np.cos(-half), 0, 0, np.sin(-half)])
+        pts[:, :3] = pts[:, :3] @ rot.T
+        pts.astype(np.float32).tofile(self.store_dir / "velodyne" / f"{name}.bin")
+
+        if self.convert_images:
+            from PIL import Image
+
+            dst = self.store_dir / "image_2" / f"{name}.png"
+            if not dst.exists():
+                Image.open(Path(nusc.dataroot) / sd_cam["filename"]).save(dst, "PNG")
+
+        if ann_tokens is None or not self.convert_labels:
+            return
+        h, w = sd_cam["height"], sd_cam["width"]
+        objects = []
+        for ann_token in ann_tokens:
+            ann = nusc.get("sample_annotation", ann_token)
+            if ann["category_name"] not in NUSC_CLASS_MAP:
+                continue
+            _, boxes, _ = nusc.get_sample_data(lidar_token, selected_anntokens=[ann_token])
+            box = boxes[0]
+            box7 = box_nu_lidar_to_kitti_camera(
+                box.center, box.wlh, box.rotation_matrix, velo_to_cam_kitti,
+                kitti_to_nu_yaw=self.KITTI2NU_YAW,
+            )
+            proj = project_box_to_2d(box7, P2, h, w)
+            if not proj["valid"]:
+                continue
+            objects.append({
+                "detection_name": NUSC_CLASS_MAP[ann["category_name"]],
+                "box7": box7,
+                "bbox_2d": proj["bbox"],
+                "truncated": proj["truncated"],
+                "alpha": -np.arctan2(box7[0], box7[2]) + box7[6],
+                "depth": float(np.linalg.norm(box7[:3])),
+            })
+        objects = estimate_occlusions(objects, h, w)
+        with open(self.store_dir / "label_2" / f"{name}.txt", "w") as f:
+            for o in objects:
+                f.write(kitti_label_line(o["detection_name"], o["box7"], o["bbox_2d"],
+                                         o["truncated"], o["occluded"], o["alpha"]) + "\n")
+
+
+def kitti_res_to_nuscenes_box(box7_cam, velo_to_cam_kitti, kitti_to_nu_yaw=np.pi / 2):
+    """Camera-frame KITTI result box → nu-lidar-frame (center, wlh, yaw).
+
+    Inverse of box_nu_lidar_to_kitti_camera (reference kitti_res_to_nuscenes
+    :431-479 round-trips detector results back into nuScenes submissions).
+    """
+    x, y, z, l, h, w, ry = np.asarray(box7_cam, np.float64)
+    nu_to_kitti = np.eye(4)
+    c, s = np.cos(-kitti_to_nu_yaw), np.sin(-kitti_to_nu_yaw)
+    nu_to_kitti[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+    T = velo_to_cam_kitti @ nu_to_kitti
+    Ti = np.linalg.inv(T)
+    center_cam = np.array([x, y - h / 2, z])  # bottom → true center
+    center_nu = Ti[:3, :3] @ center_cam + Ti[:3, 3]
+    # camera-frame heading ry → rotation matrix → nu frame yaw
+    cr, sr = np.cos(-ry), np.sin(-ry)
+    rot_cam = np.array([[cr, 0.0, -sr], [0.0, 1.0, 0.0], [sr, 0.0, cr]])
+    rot_nu = Ti[:3, :3] @ rot_cam @ T[:3, :3]
+    yaw = np.arctan2(rot_nu[1, 0], rot_nu[0, 0])
+    return center_nu, (w, l, h), yaw

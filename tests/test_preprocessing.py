@@ -157,3 +157,32 @@ def test_gen_gt_mask_points_in_camera_box():
     pts = np.array([[0, 0.5, 20], [0, 1.5, 20], [3, 0.5, 20], [0, 0.5, 50]])
     mask = points_in_camera_box(pts, obj)
     assert mask.tolist() == [True, False, False, False]
+
+
+def test_kitti_res_roundtrip_to_nuscenes():
+    """box_nu_lidar_to_kitti_camera ∘ kitti_res_to_nuscenes_box == identity."""
+    rng = np.random.RandomState(3)
+    velo_to_cam_kitti = np.array(
+        [[0, -1, 0, 0.1], [0, 0, -1, 0.4], [1, 0, 0, -0.2], [0, 0, 0, 1]], np.float64
+    )
+    for _ in range(10):
+        center = rng.uniform(-30, 30, 3)
+        wlh = tuple(rng.uniform(1, 4, 3))
+        yaw = rng.uniform(-np.pi, np.pi)
+        c, s = np.cos(yaw), np.sin(yaw)
+        rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+        box7 = converters.box_nu_lidar_to_kitti_camera(
+            center, wlh, rot, velo_to_cam_kitti, kitti_to_nu_yaw=np.pi / 2
+        )
+        c_nu, wlh2, yaw2 = converters.kitti_res_to_nuscenes_box(
+            box7, velo_to_cam_kitti, kitti_to_nu_yaw=np.pi / 2
+        )
+        np.testing.assert_allclose(c_nu, center, atol=1e-9)
+        np.testing.assert_allclose(wlh2, wlh, atol=1e-9)
+        d = (yaw2 - yaw) / np.pi
+        np.testing.assert_allclose(d, np.round(d), atol=1e-9)  # mod pi (box symmetric... mod 2pi ideally)
+
+
+def test_find_closest_integer():
+    idx, val, diff = converters.find_closest_integer(105, np.array([100, 104, 110]))
+    assert (idx, val, diff) == (1, 104, 1)
