@@ -170,3 +170,68 @@ void mh_bev_iou(const float* boxes_a, int64_t na, const float* boxes_b,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// KITTI eval matcher (compute_fp pass): for each score threshold, run the
+// official greedy gt→det assignment and accumulate tp/fp/fn. No DontCare
+// handling (metric>0 paths — BEV/3D — never have dc boxes in this pipeline).
+// overlaps: (n_det, n_gt) row-major. out: (n_thresh, 3) int64 [tp, fp, fn].
+// ---------------------------------------------------------------------------
+void mh_match_stats(const double* overlaps, int64_t n_det, int64_t n_gt,
+                    const double* scores, const int64_t* ignored_gt,
+                    const int64_t* ignored_det, double min_overlap,
+                    const double* thresholds, int64_t n_thresh, int64_t* out) {
+    const double NO_DET = -1e7;
+    bool* assigned = new bool[(size_t)(n_det > 0 ? n_det : 1)];
+    for (int64_t t = 0; t < n_thresh; t++) {
+        double thresh = thresholds[t];
+        int64_t tp = 0, fp = 0, fn = 0;
+        for (int64_t j = 0; j < n_det; j++) assigned[j] = false;
+        for (int64_t i = 0; i < n_gt; i++) {
+            if (ignored_gt[i] == -1) continue;
+            int64_t det_idx = -1;
+            double valid_detection = NO_DET;
+            double max_overlap = 0;
+            bool assigned_ignored = false;
+            for (int64_t j = 0; j < n_det; j++) {
+                if (ignored_det[j] == -1 || assigned[j] || scores[j] < thresh)
+                    continue;
+                double ov = overlaps[j * n_gt + i];
+                if (ov > min_overlap &&
+                    (ov > max_overlap || assigned_ignored) && ignored_det[j] == 0) {
+                    max_overlap = ov;
+                    det_idx = j;
+                    valid_detection = 1;
+                    assigned_ignored = false;
+                } else if (ov > min_overlap && valid_detection == NO_DET &&
+                           ignored_det[j] == 1) {
+                    det_idx = j;
+                    valid_detection = 1;
+                    assigned_ignored = true;
+                }
+            }
+            if (valid_detection == NO_DET && ignored_gt[i] == 0) {
+                fn++;
+            } else if (valid_detection != NO_DET &&
+                       (ignored_gt[i] == 1 || ignored_det[det_idx] == 1)) {
+                assigned[det_idx] = true;
+            } else if (valid_detection != NO_DET) {
+                tp++;
+                assigned[det_idx] = true;
+            }
+        }
+        for (int64_t j = 0; j < n_det; j++) {
+            if (!assigned[j] && ignored_det[j] != -1 && ignored_det[j] != 1 &&
+                scores[j] >= thresh)
+                fp++;
+        }
+        out[t * 3 + 0] = tp;
+        out[t * 3 + 1] = fp;
+        out[t * 3 + 2] = fn;
+    }
+    delete[] assigned;
+}
+
+}  // extern "C"

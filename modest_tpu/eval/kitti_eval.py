@@ -343,6 +343,21 @@ def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
                 thresholds = np.array(get_thresholds(np.array(thresholdss), total_num_valid_gt))
                 pr = np.zeros([len(thresholds), 4])
                 for i in range(len(gt_annos)):
+                    # hot path: the native C++ matcher handles all thresholds
+                    # of one frame in one call (metric>0: no DontCare boxes,
+                    # no aos needed for the Dynamic protocol)
+                    native_out = None
+                    if metric != 0 and not compute_aos and len(dontcares[i]) == 0:
+                        from ..utils import native
+
+                        native_out = native.match_stats(
+                            overlaps[i], dt_datas_list[i][:, -1],
+                            ignored_gts[i], ignored_dets[i],
+                            min_overlap, thresholds,
+                        )
+                    if native_out is not None:
+                        pr[:, :3] += native_out
+                        continue
                     for t, thr in enumerate(thresholds):
                         tp, fp, fn, sim, _ = compute_statistics(
                             overlaps[i], gt_datas_list[i], dt_datas_list[i],

@@ -61,6 +61,11 @@ def get_lib():
         lib.mh_bev_iou.restype = None
         lib.mh_bev_iou.argtypes = [c.c_void_p, c.c_int64, c.c_void_p,
                                    c.c_int64, c.c_void_p]
+        lib.mh_match_stats.restype = None
+        lib.mh_match_stats.argtypes = [c.c_void_p, c.c_int64, c.c_int64,
+                                       c.c_void_p, c.c_void_p, c.c_void_p,
+                                       c.c_double, c.c_void_p, c.c_int64,
+                                       c.c_void_p]
         _lib = lib
         return _lib
 
@@ -162,4 +167,24 @@ def bev_overlap(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:
     b = np.ascontiguousarray(boxes_b[:, :7], np.float32)
     out = np.empty((len(a), len(b)), np.float64)
     lib.mh_bev_overlap(_ptr(a), len(a), _ptr(b), len(b), _ptr(out))
+    return out
+
+
+def match_stats(overlaps, scores, ignored_gt, ignored_det, min_overlap, thresholds):
+    """Per-threshold (tp, fp, fn) via the native greedy matcher, or None if
+    the library is unavailable (caller falls back to Python)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ov = np.ascontiguousarray(overlaps, np.float64)
+    sc = np.ascontiguousarray(scores, np.float64)
+    ig = np.ascontiguousarray(ignored_gt, np.int64)
+    idt = np.ascontiguousarray(ignored_det, np.int64)
+    th = np.ascontiguousarray(thresholds, np.float64)
+    out = np.zeros((len(th), 3), np.int64)
+    lib.mh_match_stats(
+        _ptr(ov), ov.shape[0], ov.shape[1] if ov.ndim == 2 else 0,
+        _ptr(sc), _ptr(ig), _ptr(idt), float(min_overlap),
+        _ptr(th), len(th), _ptr(out),
+    )
     return out
