@@ -88,7 +88,9 @@ class KittiDataset:
         self.kitti_infos = []
 
     def get_lidar(self, idx):
-        points = kitti_io.load_velo_scan(self.root_split_path / "velodyne" / f"{idx}.bin")
+        from ..utils import native
+
+        points = native.load_velo(self.root_split_path / "velodyne" / f"{idx}.bin")
         if self.constant_reflex:
             points[:, 3] = self.constant_reflex
         return points
@@ -259,8 +261,12 @@ class KittiDataset:
 
         points = self.get_lidar(sample_idx)
         if self.dataset_cfg.FOV_POINTS_ONLY:
-            pts_rect = calib.lidar_to_rect(points[:, 0:3])
-            fov = kitti_io.get_fov_flag(pts_rect, img_shape, calib)
+            from ..utils import native
+
+            rect_3x4 = np.hstack(
+                [calib.R0 @ calib.V2C[:, :3], (calib.R0 @ calib.V2C[:, 3])[:, None]]
+            )
+            fov = native.fov_mask(points, rect_3x4, calib.P2, img_shape)
             points = points[fov]
         input_dict["points"] = points
 
