@@ -1,0 +1,49 @@
+"""Model-family dispatch: forward / loss / post-process per detector type.
+
+The train/eval steps (train/state.py) are model-agnostic; this module maps a
+MODEL config to the right apply signature, loss and post-processing — the
+equivalent of the reference's Detector3DTemplate polymorphism.
+"""
+from __future__ import annotations
+
+
+def is_grid_model(model_cfg) -> bool:
+    return model_cfg.NAME in ("SECONDNet", "PointPillar")
+
+
+def apply_train(model, model_cfg, variables, points, gt_boxes, rng):
+    """Forward in train mode → (outputs, new_batch_stats)."""
+    kwargs = dict(mutable=["batch_stats"])
+    if is_grid_model(model_cfg):
+        out, mut = model.apply(variables, points, gt_boxes, train=True, **kwargs)
+    else:
+        out, mut = model.apply(
+            variables, points, gt_boxes, train=True, rngs={"sampler": rng}, **kwargs
+        )
+    return out, mut["batch_stats"]
+
+
+def apply_eval(model, model_cfg, variables, points):
+    return model.apply(variables, points, train=False)
+
+
+def compute_loss(out, gt_boxes, model_cfg, num_class: int = 1):
+    if is_grid_model(model_cfg):
+        from .grid_detectors import grid_detector_loss
+
+        return grid_detector_loss(out, model_cfg, num_class)
+    from .pointrcnn import pointrcnn_loss
+
+    return pointrcnn_loss(out, gt_boxes, model_cfg, num_class)
+
+
+def post_process(out, model_cfg):
+    if is_grid_model(model_cfg):
+        from .grid_detectors import grid_post_process
+
+        return grid_post_process(out, model_cfg.POST_PROCESSING)
+    from .pointrcnn import post_process as prcnn_post
+
+    final = prcnn_post(out, model_cfg.POST_PROCESSING)
+    final["rois"] = out.get("rois")
+    return final

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..models.pointrcnn import pointrcnn_loss, post_process
+from ..models import api as model_api
 from ..parallel.mesh import batch_sharding, replicated
 
 
@@ -32,7 +32,7 @@ def create_train_state(model, optimizer, sample_batch, seed: int = 666) -> Train
         jnp.asarray(sample_batch["points"]),
         jnp.asarray(sample_batch["gt_boxes"]),
         train=True,
-    )
+    )  # the 'sampler' rng stream is unused (and harmless) for grid models
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
@@ -48,13 +48,13 @@ def make_train_step(model, model_cfg, optimizer, mesh=None):
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
-            out, mutated = model.apply(
+            out, new_bs = model_api.apply_train(
+                model, model_cfg,
                 {"params": params, "batch_stats": state.batch_stats},
-                points, gt_boxes, train=True,
-                rngs={"sampler": rng}, mutable=["batch_stats"],
+                points, gt_boxes, rng,
             )
-            loss, metrics = pointrcnn_loss(out, gt_boxes, model_cfg)
-            return loss, (metrics, mutated["batch_stats"])
+            loss, metrics = model_api.compute_loss(out, gt_boxes, model_cfg)
+            return loss, (metrics, new_bs)
 
         grads, (metrics, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
@@ -79,13 +79,12 @@ def make_train_step(model, model_cfg, optimizer, mesh=None):
 
 def make_eval_step(model, model_cfg, mesh=None):
     def eval_step(state: TrainState, points):
-        out = model.apply(
+        out = model_api.apply_eval(
+            model, model_cfg,
             {"params": state.params, "batch_stats": state.batch_stats},
-            points, train=False,
+            points,
         )
-        final = post_process(out, model_cfg.POST_PROCESSING)
-        final["rois"] = out["rois"]
-        return final
+        return model_api.post_process(out, model_cfg)
 
     if mesh is None:
         return jax.jit(eval_step)
