@@ -304,3 +304,24 @@ def test_combine_labels_fusion(rng):
     # suppresses the overlapping seed box (score −999+8 < 0.9)
     assert len(objs) == 1
     assert objs[0].score == 0.9
+
+
+def test_tracking_association():
+    from modest_tpu.pipeline.tracking import build_tracks, interpolate_track
+
+    # two objects moving along x, one appearing later
+    frames = {}
+    for f in range(5):
+        a = [5.0 + f, 0.0, 0.0, 4, 2, 1.5, 0.0]
+        b = [20.0, 10.0 + 0.5 * f, 0.0, 4, 2, 1.5, 1.0]
+        frames[f] = np.array([a, b]) if f >= 2 else np.array([a])
+    tracks = build_tracks(frames, iou_threshold=0.1)
+    assert len(tracks) == 2
+    lengths = sorted(len(t) for t in tracks)
+    assert lengths == [3, 5]
+    long = max(tracks, key=len)
+    # interpolation at an observed frame returns that box
+    np.testing.assert_allclose(interpolate_track(long, 2)[0], 7.0, atol=1e-9)
+    # midpoint between frames
+    mid = interpolate_track(long, 2)  # integer frames only here
+    assert np.isfinite(mid).all()
