@@ -1,0 +1,51 @@
+"""Multi-host (multi-process) initialization.
+
+Reference equivalent: pcdet common_utils.init_dist_slurm/init_dist_pytorch +
+tools/scripts/slurm_*.sh (NCCL process groups). In JAX one call wires the
+whole pod: jax.distributed.initialize discovers peers from the TPU runtime
+(or coordinator env vars under SLURM/GCE), after which jax.devices() spans
+all hosts and the same jit-over-Mesh train step scales — data loading is
+sharded by process index instead of a DistributedSampler.
+"""
+from __future__ import annotations
+
+import os
+
+
+def init_multihost(coordinator_address: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None):
+    """Initialize JAX multi-process mode. No-ops on a single host.
+
+    On TPU pods the arguments auto-discover; under SLURM they come from the
+    environment (SLURM_NTASKS / SLURM_PROCID / the first node as coordinator)
+    mirroring the reference's init_dist_slurm:130-155.
+    """
+    import jax
+
+    if num_processes is None and "SLURM_NTASKS" in os.environ:
+        num_processes = int(os.environ["SLURM_NTASKS"])
+        process_id = int(os.environ["SLURM_PROCID"])
+        if coordinator_address is None:
+            nodelist = os.environ.get("SLURM_STEP_NODELIST", "localhost")
+            first = nodelist.split(",")[0].replace("[", "").split("-")[0]
+            port = os.environ.get("MODEST_TPU_COORD_PORT", "12996")
+            coordinator_address = f"{first}:{port}"
+    if num_processes in (None, 1):
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
+def shard_indices_for_process(n_items: int, process_id: int | None = None,
+                              num_processes: int | None = None):
+    """Per-process slice of the dataset (DistributedSampler equivalent)."""
+    import jax
+
+    pid = jax.process_index() if process_id is None else process_id
+    nproc = jax.process_count() if num_processes is None else num_processes
+    return list(range(pid, n_items, nproc))
