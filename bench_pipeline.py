@@ -1,0 +1,107 @@
+"""Pipeline throughput benchmark: PP (persistence) score + seed-label
+generation on realistic synthetic frames (BASELINE.md configs 1-2).
+
+Prints one JSON line per stage (bench.py remains the driver's headline).
+Sizes follow Lyft: ~90k pts/frame origin clouds, 5 traversals × ~160k pts
+combined clouds for the PP stage; ~35k in-range points for clustering.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def synth_frame(rng, n_ground=60000, n_objects=12, n_wall=20000):
+    pts = [
+        np.stack([rng.uniform(0, 90, n_ground), rng.uniform(-40, 40, n_ground),
+                  rng.normal(-1.8, 0.03, n_ground)], 1)
+    ]
+    for _ in range(n_objects):
+        c = rng.uniform([5, -30, -1.6], [70, 30, -1.2])
+        pts.append(c + rng.uniform(-1, 1, (800, 3)) * [2.2, 1.0, 0.75])
+    pts.append(
+        np.stack([rng.uniform(0, 90, n_wall), np.full(n_wall, -35.0) + rng.randn(n_wall),
+                  rng.uniform(-1.8, 2, n_wall)], 1)
+    )
+    return np.concatenate(pts).astype(np.float32)
+
+
+def bench_pp_score(rng, frames=4, traversals=5):
+    from modest_tpu.pipeline.pp_score import compute_ephe_score, radius_counts
+
+    travs = [synth_frame(rng) for _ in range(traversals)]
+    travs = [np.concatenate([t, t + rng.randn(*t.shape) * 0.05]) for t in travs]  # ~180k
+    origins = [synth_frame(rng) for _ in range(frames)]
+    # warm
+    H = compute_ephe_score(radius_counts(origins[0], travs, 0.3))
+    t0 = time.perf_counter()
+    for o in origins:
+        counts = radius_counts(o, travs, 0.3)
+        H = compute_ephe_score(counts)
+    dt = time.perf_counter() - t0
+    n_pts = origins[0].shape[0]
+    print(json.dumps({
+        "metric": "pp_score_scans_per_sec",
+        "value": round(frames / dt, 3),
+        "unit": "scans/s",
+        "detail": f"{n_pts} origin pts x {traversals} traversals x ~{travs[0].shape[0]} pts",
+    }))
+
+
+def bench_seed_gen(rng, frames=3):
+    from modest_tpu.pipeline.seed_labels import generate_mask_for_frame
+    from modest_tpu.utils.config import Config
+    from modest_tpu.utils.kitti_io import Calibration
+
+    cfg = Config({
+        "plane_estimate": {"range": [[-70, 70], [-20, 20]], "max_hs": -1.5, "offset": 0.05},
+        "limit_range": [[-70, 70], [-40, 40]],
+        "graph": {"neighbor_type": "radius_mutual_knn", "affinity_type": "l1",
+                  "n_neighbors": 70, "radius": 2.0},
+        "clustering": {"method": "DBSCAN", "DBSCAN": {"eps": 0.1, "min_samples": 10}},
+        "filtering": {"min_points": 10, "max_volume": 120, "min_volume": 0.5,
+                      "min_max_height": 0.5, "max_min_height": 1.0,
+                      "percentile": 20, "min_percentile_pp_score": 0.7},
+        "bbox_gen": {"fit_method": "closeness_to_edge"},
+    })
+    P2 = np.array([[700.0, 0, 600, 0], [0, 700.0, 200, 0], [0, 0, 1.0, 0]])
+    V2C = np.array([[0.0, -1, 0, 0], [0, 0, -1, 0], [1.0, 0, 0, 0]])
+    calib = Calibration({"P2": P2, "P3": P2, "R0_rect": np.eye(3), "Tr_velo_to_cam": V2C})
+
+    clouds = []
+    for _ in range(frames):
+        pts = synth_frame(rng)
+        ptc = np.concatenate([pts, np.zeros((len(pts), 1), np.float32)], 1)
+        pp = rng.rand(len(pts)).astype(np.float32)
+        pp[:60000] = 0.85  # ground persistent
+        pp[60000:60000 + 12 * 800] = 0.05  # objects ephemeral
+        clouds.append((ptc, pp))
+    # warm (compilation buckets)
+    generate_mask_for_frame(*clouds[0], calib, cfg)
+    t0 = time.perf_counter()
+    n_boxes = 0
+    for ptc, pp in clouds:
+        labels, objs = generate_mask_for_frame(ptc, pp, calib, cfg)
+        n_boxes += len(objs)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "seed_label_gen_scans_per_sec",
+        "value": round(frames / dt, 3),
+        "unit": "scans/s",
+        "detail": f"{clouds[0][0].shape[0]} pts/frame, {n_boxes} seed boxes total",
+    }))
+
+
+def main():
+    from modest_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    rng = np.random.RandomState(0)
+    bench_pp_score(rng)
+    bench_seed_gen(rng)
+
+
+if __name__ == "__main__":
+    main()

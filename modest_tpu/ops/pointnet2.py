@@ -160,8 +160,16 @@ def three_nn(unknown, known):
     skew the inverse-distance weights).
     """
     d2 = pairwise_dist2(unknown, known)
-    _, idx = jax.lax.top_k(-d2, 3)
-    idx = idx.astype(jnp.int32)
+    # 3-pass argmin (exact): avoids lax.top_k, which lowers to a sort on TPU
+    m = d2.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, d2.ndim - 1)
+    idxs = []
+    cur = d2
+    for _ in range(3):
+        i = jnp.argmin(cur, axis=-1).astype(jnp.int32)
+        idxs.append(i)
+        cur = jnp.where(col == i[..., None], jnp.inf, cur)
+    idx = jnp.stack(idxs, axis=-1)
     b, n, _ = idx.shape
     nbr = gather_points(known, idx.reshape(b, -1)).reshape(b, n, 3, 3)
     exact = ((nbr - unknown[:, :, None, :]) ** 2).sum(-1)
