@@ -150,3 +150,91 @@ def get_obj(cluster_rect: np.ndarray, full_rect: np.ndarray,
     obj.ry = float(ry)
     obj.volume = float(area * h)
     return obj
+
+
+# ---------------------------------------------------------------------------
+# device-accelerated closeness scan (used automatically off-CPU)
+# ---------------------------------------------------------------------------
+
+_ANGLE_CACHE = {}
+
+
+def _closeness_scores_jax(pts_pad, mask, angles_cs, d0=1e-2):
+    """(n_pad, 2) padded points → (A,) closeness scores for all angles.
+
+    One (n, 2) x (2, 2A) matmul puts every angle's projection on the MXU;
+    the per-angle min/max/score reductions are fused VPU work.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    u_v = jax.lax.dot_general(
+        pts_pad, angles_cs, dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+    )  # (n, 2A): [u_0..u_A, v_0..v_A]
+    a = angles_cs.shape[1] // 2
+    u, v = u_v[:, :a], u_v[:, a:]
+    big = jnp.float32(1e9)
+    m = mask[:, None]
+    u_min = jnp.min(jnp.where(m, u, big), axis=0)
+    u_max = jnp.max(jnp.where(m, u, -big), axis=0)
+    v_min = jnp.min(jnp.where(m, v, big), axis=0)
+    v_max = jnp.max(jnp.where(m, v, -big), axis=0)
+    du = jnp.minimum(u - u_min[None], u_max[None] - u)
+    dv = jnp.minimum(v - v_min[None], v_max[None] - v)
+    beta = jnp.maximum(jnp.minimum(du, dv), d0)
+    return jnp.where(m, 1.0 / beta, 0.0).sum(axis=0)
+
+
+def closeness_rectangle_device(cluster_ptc: np.ndarray, delta=0.1, d0=1e-2):
+    """TPU/accelerator path of closeness_rectangle: the 901-angle scan runs
+    as one device program; the final box is assembled at the argmax angle."""
+    import jax
+    import jax.numpy as jnp
+
+    angles = np.arange(0, 90 + delta, delta) / 180.0 * np.pi
+    key = (round(delta, 6),)
+    if key not in _ANGLE_CACHE:
+        c, s = np.cos(angles), np.sin(angles)
+        # columns: u = x cos + y sin ; v = -x sin + y cos
+        _ANGLE_CACHE[key] = (
+            jnp.asarray(np.concatenate([np.stack([c, s]), np.stack([-s, c])], axis=1,
+                                       dtype=np.float32)),
+            angles,
+        )
+    angles_cs, angles_np = _ANGLE_CACHE[key]
+
+    n = cluster_ptc.shape[0]
+    n_pad = max(256, 1 << (n - 1).bit_length())
+    pts = np.zeros((n_pad, 2), np.float32)
+    pts[:n] = cluster_ptc
+    mask = np.zeros(n_pad, bool)
+    mask[:n] = True
+    scores = np.asarray(
+        _closeness_scores_jit(jnp.asarray(pts), jnp.asarray(mask), angles_cs,
+                              np.float32(d0))
+    )
+    return _finalize(cluster_ptc, float(angles_np[int(np.argmax(scores))]))
+
+
+def _closeness_scores_jit(pts, mask, angles_cs, d0):
+    import jax
+
+    global _CLOSENESS_JIT
+    try:
+        fn = _CLOSENESS_JIT
+    except NameError:
+        fn = _CLOSENESS_JIT = jax.jit(_closeness_scores_jax)
+    return fn(pts, mask, angles_cs, d0)
+
+
+def closeness_rectangle_auto(cluster_ptc: np.ndarray, delta=0.1, d0=1e-2):
+    """Dispatch: device scan off-CPU, exact numpy scan on CPU."""
+    import jax
+
+    if jax.default_backend() != "cpu" and cluster_ptc.shape[0] >= 64:
+        return closeness_rectangle_device(cluster_ptc, delta, d0)
+    return closeness_rectangle(cluster_ptc, delta, d0)
+
+
+FIT_METHODS["closeness_to_edge"] = closeness_rectangle_auto

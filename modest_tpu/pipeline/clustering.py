@@ -128,7 +128,9 @@ def dbscan_pp(xyz: np.ndarray, pp: np.ndarray, *, n_neighbors: int = 70,
     n = xyz.shape[0]
     if n == 0:
         return np.zeros(0, np.int64)
-    n_pad = max(_round_up(n, row_chunk), row_chunk)
+    # pad to power-of-two buckets: each distinct shape costs a full XLA
+    # compile (minutes via the remote compile helper), so cap the bucket set
+    n_pad = max(row_chunk, 1 << (n - 1).bit_length())
     x = np.zeros((n_pad, 3), np.float32)
     x[:n] = xyz[:, :3]
     # scatter padded rows far away so they never enter any neighborhood

@@ -72,32 +72,40 @@ def _radius_count_one(query, qmask, trav, tmask, r2, chunk: int = 8192):
     return jnp.where(qmask, counts, 0)
 
 
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _radius_count_stacked(query, qmask, travs, tmask, r2, chunk: int = 8192):
+    """(T, M, 3) stacked traversals → (N, T) counts in ONE device call."""
+    counts = jax.vmap(
+        lambda t, m: _radius_count_one(query, qmask, t, m, r2, chunk=chunk)
+    )(travs, tmask)  # (T, N)
+    return counts.T
+
+
 def radius_counts(query: np.ndarray, traversals: list[np.ndarray], radius: float,
                   chunk: int = 8192) -> np.ndarray:
     """(N, T) neighbor counts of query points in each traversal cloud.
 
-    Host wrapper: pads each traversal to a bucketed length so XLA re-uses a
-    small set of compiled programs across frames.
+    Host wrapper: one device dispatch per frame (all traversals stacked) with
+    power-of-two padding so a handful of compiled programs covers a dataset.
     """
     n = query.shape[0]
-    n_pad = max(_round_up(n, 1024), 1024)
+    n_pad = max(1024, 1 << (n - 1).bit_length())
     q = np.zeros((n_pad, 3), np.float32)
     q[:n] = query[:, :3]
     qmask = np.zeros(n_pad, bool)
     qmask[:n] = True
 
-    out = np.zeros((n, len(traversals)), np.int64)
-    r2 = np.float32(radius * radius)
+    t_count = len(traversals)
+    m_max = max(t.shape[0] for t in traversals)
+    m_pad = max(chunk, 1 << (m_max - 1).bit_length())
+    travs = np.zeros((t_count, m_pad, 3), np.float32)
+    tmask = np.zeros((t_count, m_pad), bool)
     for ti, trav in enumerate(traversals):
-        m = trav.shape[0]
-        m_pad = max(_round_up(m, chunk), chunk)
-        t = np.zeros((m_pad, 3), np.float32)
-        t[:m] = trav[:, :3]
-        tmask = np.zeros(m_pad, bool)
-        tmask[:m] = True
-        cnt = _radius_count_one(q, qmask, t, tmask, r2, chunk=chunk)
-        out[:, ti] = np.asarray(cnt)[:n]
-    return out
+        travs[ti, : trav.shape[0]] = trav[:, :3]
+        tmask[ti, : trav.shape[0]] = True
+    counts = _radius_count_stacked(q, qmask, travs, tmask,
+                                   np.float32(radius * radius), chunk=chunk)
+    return np.asarray(counts)[:n].astype(np.int64)
 
 
 def compute_ephe_score(count: np.ndarray, ephe_type: str = "entropy") -> np.ndarray:
