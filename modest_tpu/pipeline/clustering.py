@@ -150,8 +150,5 @@ def dbscan_pp(xyz: np.ndarray, pp: np.ndarray, *, n_neighbors: int = 70,
 
     # compact ids in order of first (minimum) core index — sklearn ordering
     uniq = np.unique(raw[raw >= 0])
-    remap = {int(u): i for i, u in enumerate(np.sort(uniq))}
-    out = np.full(n, -1, np.int64)
-    for u, i in remap.items():
-        out[raw == u] = i
-    return out
+    out = np.where(raw >= 0, np.searchsorted(uniq, raw), -1)
+    return out.astype(np.int64)

@@ -43,8 +43,8 @@ def filter_labels(ptc, pp_score, labels, **kwargs) -> np.ndarray:
         sel = labels == i
         if not is_valid_cluster(ptc[sel, :3], pp_score[sel], plane, **kwargs):
             labels[sel] = -1
-    mapping = {x: i for i, x in enumerate(sorted(set(labels.tolist())))}
-    return np.vectorize(mapping.__getitem__)(labels)
+    keys = np.unique(labels)  # sorted; maps -1→0, clusters→1..K
+    return np.searchsorted(keys, labels)
 
 
 # ---------------------------------------------------------------------------
@@ -89,8 +89,8 @@ def generate_mask_for_frame(ptc: np.ndarray, pp_score: np.ndarray, calib, cfg):
         else:
             labels[labels == i] = 0
 
-    mapping = {x: i for i, x in enumerate(sorted(set(labels.tolist())))}
-    labels = np.vectorize(mapping.__getitem__)(labels)
+    keys = np.unique(labels)
+    labels = np.searchsorted(keys, labels)
     return labels, objs
 
 
