@@ -28,25 +28,59 @@ def synth_frame(rng, n_ground=60000, n_objects=12, n_wall=20000):
     return np.concatenate(pts).astype(np.float32)
 
 
-def bench_pp_score(rng, frames=4, traversals=5):
-    from modest_tpu.pipeline.pp_score import compute_ephe_score, radius_counts
+def bench_pp_score(rng, origins=4, traversals=5, frames_per_trav=8):
+    """Steady-state PP score with the HBM-resident frame cache: each origin
+    uploads only its own query cloud; neighbor frames are already on device
+    (the CLI's sliding-window access pattern)."""
+    import jax
+    import jax.numpy as jnp
 
-    travs = [synth_frame(rng) for _ in range(traversals)]
-    travs = [np.concatenate([t, t + rng.randn(*t.shape) * 0.05]) for t in travs]  # ~180k
-    origins = [synth_frame(rng) for _ in range(frames)]
-    # warm
-    H = compute_ephe_score(radius_counts(origins[0], travs, 0.3))
+    from modest_tpu.pipeline.pp_score import (
+        _radius_count_frame_pool,
+        compute_ephe_score,
+    )
+
+    n = synth_frame(rng).shape[0]
+    m_pad = 1 << (n - 1).bit_length()
+    f = traversals * frames_per_trav
+    f_pad = ((f + 7) // 8) * 8
+    frames = np.zeros((f_pad, m_pad, 3), np.float32)
+    fmask = np.zeros((f_pad, m_pad), bool)
+    for i in range(f):
+        pts = synth_frame(rng)
+        frames[i, : len(pts)] = pts
+        fmask[i, : len(pts)] = True
+    rot = np.tile(np.eye(3, dtype=np.float32), (f_pad, 1, 1))
+    trans = rng.randn(f_pad, 3).astype(np.float32) * 0.1
+    onehot = np.zeros((f_pad, traversals), np.float32)
+    onehot[np.arange(f), np.arange(f) % traversals] = 1.0
+    frames_d = jax.device_put(frames)
+    fmask_d = jax.device_put(fmask)
+
+    def one(o):
+        q = np.zeros((m_pad, 3), np.float32)
+        q[: len(o)] = o
+        qm = np.zeros(m_pad, bool)
+        qm[: len(o)] = True
+        counts = _radius_count_frame_pool(
+            jnp.asarray(q), jnp.asarray(qm), frames_d, fmask_d,
+            jnp.asarray(rot), jnp.asarray(trans), jnp.asarray(onehot),
+            np.float32(0.09),
+        )
+        return compute_ephe_score(np.asarray(counts)[: len(o)])
+
+    olist = [synth_frame(rng) for _ in range(origins)]
+    one(olist[0])  # warm/compile
     t0 = time.perf_counter()
-    for o in origins:
-        counts = radius_counts(o, travs, 0.3)
-        H = compute_ephe_score(counts)
+    for o in olist:
+        one(o)
     dt = time.perf_counter() - t0
-    n_pts = origins[0].shape[0]
+    total_pts = int(fmask.sum())
     print(json.dumps({
         "metric": "pp_score_scans_per_sec",
-        "value": round(frames / dt, 3),
+        "value": round(origins / dt, 3),
         "unit": "scans/s",
-        "detail": f"{n_pts} origin pts x {traversals} traversals x ~{travs[0].shape[0]} pts",
+        "detail": f"{n} origin pts vs {f} cached frames ({total_pts} pts) in {traversals} traversals",
     }))
 
 

@@ -17,7 +17,13 @@ import pickle
 import numpy as np
 from tqdm.auto import tqdm
 
-from ..pipeline.pp_score import TraversalIndex, pp_score_for_frame
+from ..pipeline.pp_score import (
+    DeviceFrameCache,
+    TraversalIndex,
+    pp_score_for_frame,
+    pp_score_for_frame_cached,
+    remove_center,
+)
 from .common import display_args, load_pipeline_config, make_parser, shard_idx_list
 
 
@@ -38,6 +44,16 @@ def main(argv=None):
     idx_list = shard_idx_list(idx_list, cfg.total_part, cfg.part)
 
     index = TraversalIndex(cfg.data_root, track_list, valid_idx, nusc=cfg.nusc)
+    # fast path: raw frames stay resident in device HBM across origin frames
+    # (consecutive origins share most neighbor frames); the noise ablation
+    # perturbs the origin cloud and uses the combined-cloud path
+    use_cache = cfg.add_random_noise <= 0
+
+    def _load(gid):
+        pts = index._velo(gid)
+        return remove_center(pts) if cfg.nusc else pts
+
+    cache = DeviceFrameCache(_load) if use_cache else None
 
     trans_dir = cfg.data_paths.load_save_precomputed_trans_mat
     if trans_dir is not None:
@@ -56,13 +72,20 @@ def main(argv=None):
             np.save(osp.join(trans_dir, f"{origin_idx:06d}.npy"), trans_mat)
         if cfg.skip_ephe:
             continue
-        H = pp_score_for_frame(
-            index,
-            origin_idx,
-            radius=cfg.max_neighbor_dist,
-            limit_traversals=cfg.limit_traversals,
-            add_random_noise=cfg.add_random_noise,
-        )
+        if use_cache:
+            H = pp_score_for_frame_cached(
+                index, cache, origin_idx,
+                radius=cfg.max_neighbor_dist,
+                limit_traversals=cfg.limit_traversals,
+            )
+        else:
+            H = pp_score_for_frame(
+                index,
+                origin_idx,
+                radius=cfg.max_neighbor_dist,
+                limit_traversals=cfg.limit_traversals,
+                add_random_noise=cfg.add_random_noise,
+            )
         np.save(out, H.astype(np.float32))
 
 

@@ -230,3 +230,125 @@ def pp_score_for_frame(index: TraversalIndex, origin_idx: int, radius: float,
 
     counts = radius_counts(origin_ptc.astype(np.float32), traversals, radius)
     return compute_ephe_score(counts).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# HBM-resident frame cache: consecutive origin frames share most of their
+# neighbor frames, so each raw scan is uploaded ONCE and per-origin alignment
+# (a 4x4 per frame) is applied on device. Host→device traffic per origin
+# drops from the full combined clouds (~100s of MB at real Lyft sizes) to the
+# query cloud + a few new frames entering the sliding window.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _radius_count_frame_pool(query, qmask, frames, fmask, rot, trans, trav_onehot, r2,
+                             chunk: int = 8192):
+    """query (N,3); frames (F,Mp,3) raw scans; rot/trans (F,3,3)/(F,3) frame→
+    common-frame transforms; trav_onehot (F,T) frame→traversal assignment.
+    Returns (N, T) counts."""
+
+    def per_frame(fr, fm, R, t):
+        pts = (
+            jax.lax.dot_general(
+                fr, R, dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            + t
+        )
+        return _radius_count_one(query, qmask, pts, fm, r2, chunk=chunk)
+
+    counts_f = jax.vmap(per_frame)(frames, fmask, rot, trans)  # (F, N)
+    return jnp.einsum(
+        "fn,ft->nt", counts_f.astype(jnp.float32), trav_onehot,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(jnp.int32)
+
+
+class DeviceFrameCache:
+    """Keeps raw velodyne frames resident on device, padded to one bucket."""
+
+    def __init__(self, load_fn, m_pad: int | None = None, chunk: int = 8192):
+        self.load_fn = load_fn
+        self.m_pad = m_pad
+        self.chunk = chunk
+        self._frames: dict[int, tuple] = {}
+
+    def frame(self, gid: int):
+        if gid not in self._frames:
+            pts = np.asarray(self.load_fn(gid), np.float32)[:, :3]
+            if self.m_pad is None:
+                self.m_pad = max(self.chunk, 1 << (pts.shape[0] - 1).bit_length())
+            assert pts.shape[0] <= self.m_pad, (pts.shape, self.m_pad)
+            buf = np.zeros((self.m_pad, 3), np.float32)
+            buf[: pts.shape[0]] = pts
+            mask = np.zeros(self.m_pad, bool)
+            mask[: pts.shape[0]] = True
+            self._frames[gid] = (jax.device_put(buf), jax.device_put(mask))
+        return self._frames[gid]
+
+
+def pp_score_for_frame_cached(index: TraversalIndex, cache: DeviceFrameCache,
+                              origin_idx: int, radius: float,
+                              limit_traversals: int = -1) -> np.ndarray:
+    """PP score with device-cached frames (fast path of pp_score_for_frame)."""
+    _, _, neighbors = index.valid_idx[origin_idx]
+    if limit_traversals > 1:
+        neighbors = neighbors[:limit_traversals]
+    first_seq, first_indices = neighbors[0]
+    first_pose = index.poses[first_seq][first_indices[0]]
+    first_l2e = index.l2es[first_seq][first_indices[0]]
+
+    frame_ids, rots, transs, trav_ids = [], [], [], []
+    for ti, (seq_id, indices) in enumerate(neighbors):
+        for frame in indices:
+            rel = get_relative_pose(
+                fixed_l2e=first_l2e, fixed_ego=first_pose,
+                query_l2e=index.l2es[seq_id][frame],
+                query_ego=index.poses[seq_id][frame],
+                kitti2nu=index.kitti2nu,
+            )
+            frame_ids.append(index.track_list[seq_id][frame])
+            rots.append(rel[:3, :3])
+            transs.append(rel[:3, 3])
+            trav_ids.append(ti)
+
+    f = len(frame_ids)
+    f_pad = ((f + 7) // 8) * 8  # bucket F to bound recompiles
+    t_count = len(neighbors)
+
+    dev_frames = [cache.frame(g) for g in frame_ids]
+    frames = jnp.stack([d[0] for d in dev_frames] + [dev_frames[0][0]] * (f_pad - f))
+    fmask_rows = [d[1] for d in dev_frames] + [
+        jnp.zeros_like(dev_frames[0][1])
+    ] * (f_pad - f)
+    fmask = jnp.stack(fmask_rows)
+    rot = np.zeros((f_pad, 3, 3), np.float32)
+    rot[:f] = np.stack(rots)
+    trans = np.zeros((f_pad, 3), np.float32)
+    trans[:f] = np.stack(transs)
+    onehot = np.zeros((f_pad, t_count), np.float32)
+    onehot[np.arange(f), np.asarray(trav_ids)] = 1.0
+
+    origin_seq, origin_frame, _ = index.valid_idx[origin_idx]
+    trans_mat = get_relative_pose(
+        fixed_l2e=first_l2e, fixed_ego=first_pose,
+        query_l2e=index.l2es[origin_seq][origin_frame],
+        query_ego=index.poses[origin_seq][origin_frame],
+        kitti2nu=index.kitti2nu,
+    )
+    origin_ptc = transform_points(index.origin_cloud(origin_idx), trans_mat)
+    n = origin_ptc.shape[0]
+    n_pad = max(1024, 1 << (n - 1).bit_length())
+    q = np.zeros((n_pad, 3), np.float32)
+    q[:n] = origin_ptc[:, :3]
+    qmask = np.zeros(n_pad, bool)
+    qmask[:n] = True
+
+    counts = _radius_count_frame_pool(
+        jnp.asarray(q), jnp.asarray(qmask), frames, fmask,
+        jnp.asarray(rot), jnp.asarray(trans), jnp.asarray(onehot),
+        np.float32(radius * radius), chunk=cache.chunk,
+    )
+    return compute_ephe_score(np.asarray(counts)[:n]).astype(np.float32)

@@ -83,3 +83,33 @@ def test_pp_score_end_to_end_synthetic(tmp_path, rng):
     car_score = H[200:].mean()
     assert wall_score > 0.9  # appears in all 3 traversals → high count entropy
     assert car_score < 0.1  # only own traversal → near-zero entropy
+
+
+def test_cached_pp_score_matches_uncached(tmp_path, rng):
+    """The device-frame-cache path computes the same entropies as the
+    combined-cloud path."""
+    import os
+
+    from modest_tpu.utils import kitti_io
+
+    root = tmp_path / "data"
+    for sub in ["velodyne", "oxts", "l2e"]:
+        os.makedirs(root / sub)
+    track_list = [[0, 1], [2, 3], [4, 5]]
+    for gid in range(6):
+        pts = rng.uniform(-20, 20, (3000, 3)).astype(np.float32)
+        scan = np.concatenate([pts, np.zeros((3000, 1), np.float32)], 1)
+        kitti_io.save_velo_scan(root / "velodyne" / f"{gid:06d}.bin", scan)
+        (root / "oxts" / f"{gid:06d}.txt").write_text(
+            f"{rng.randn()*0.5} {rng.randn()*0.5} 0 0 0 {rng.randn()*0.05}\n"
+        )
+        np.save(root / "l2e" / f"{gid:06d}.npy", np.eye(4, dtype=np.float32))
+
+    valid_idx = {0: (0, 0, [(1, [0, 1]), (2, [0, 1])])}
+    index = pp_score.TraversalIndex(root, track_list, valid_idx)
+
+    want = pp_score.pp_score_for_frame(index, 0, radius=0.3)
+
+    cache = pp_score.DeviceFrameCache(index._velo, chunk=1024)
+    got = pp_score.pp_score_for_frame_cached(index, cache, 0, radius=0.3)
+    np.testing.assert_allclose(got, want, atol=2e-5)
