@@ -35,10 +35,7 @@ def bench_pp_score(rng, origins=4, traversals=5, frames_per_trav=8):
     import jax
     import jax.numpy as jnp
 
-    from modest_tpu.pipeline.pp_score import (
-        _radius_count_frame_pool,
-        compute_ephe_score,
-    )
+    from modest_tpu.pipeline.pp_score import compute_ephe_score
 
     n = synth_frame(rng).shape[0]
     m_pad = 1 << (n - 1).bit_length()
@@ -57,15 +54,23 @@ def bench_pp_score(rng, origins=4, traversals=5, frames_per_trav=8):
     frames_d = jax.device_put(frames)
     fmask_d = jax.device_put(fmask)
 
+    from modest_tpu.pipeline.pp_score import _sorted_pool_counts
+    from modest_tpu.ops.pallas_radius_count import BN
+
+    # regroup frames per traversal (slabs of frames_per_trav)
+    order = np.argsort(np.arange(f) % traversals, kind="stable")
+    frames_g = jax.device_put(frames[list(order) + list(range(f, f_pad))][: traversals * frames_per_trav])
+    fmask_g = jax.device_put(fmask[list(order) + list(range(f, f_pad))][: traversals * frames_per_trav])
+    rot_g = jnp.asarray(rot[: traversals * frames_per_trav])
+    trans_g = jnp.asarray(trans[: traversals * frames_per_trav])
+
     def one(o):
-        q = np.zeros((m_pad, 3), np.float32)
+        n_pad = ((len(o) + BN - 1) // BN) * BN
+        q = np.full((n_pad, 3), 1e9, np.float32)
         q[: len(o)] = o
-        qm = np.zeros(m_pad, bool)
-        qm[: len(o)] = True
-        counts = _radius_count_frame_pool(
-            jnp.asarray(q), jnp.asarray(qm), frames_d, fmask_d,
-            jnp.asarray(rot), jnp.asarray(trans), jnp.asarray(onehot),
-            np.float32(0.09),
+        counts = _sorted_pool_counts(
+            jnp.asarray(q), frames_g, fmask_g, rot_g, trans_g, np.float32(0.3),
+            t_count=traversals, fmax=frames_per_trav,
         )
         return compute_ephe_score(np.asarray(counts)[: len(o)])
 

@@ -1,0 +1,128 @@
+"""Windowed radius counting as a Pallas TPU kernel.
+
+The PP-score neighbor count compares ~100k query points against millions of
+traversal points within r = 0.3 m. Dense pairwise distances waste the MXU
+(the contraction dim is 3) and the VPU (>99% of pairs are farther than r
+apart in x alone). This kernel exploits x-sorted inputs: for each tile of
+256 x-sorted queries, only the contiguous window of traversal points with
+x ∈ [tile_min − r, tile_max + r] can match. Window tile ranges are
+precomputed with searchsorted and scalar-prefetched; traversal data stays in
+HBM and only window tiles are DMA'd (double-buffered) into VMEM.
+
+Exactness: identical counts to the dense path — the x-window is a superset
+of the true neighbor set and the kernel applies the exact d² ≤ r² test.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BN = 256  # queries per tile (lanes)
+BM = 2048  # traversal points per DMA'd window tile
+
+
+def _count_kernel_wrapped(lohi_ref, r2_ref, q_ref, t_hbm, counts_ref):
+    t_id = pl.program_id(0)
+    q_id = pl.program_id(1)
+    lo = lohi_ref[t_id, q_id, 0]
+    hi = lohi_ref[t_id, q_id, 1]
+
+    qx = q_ref[0:1, :]
+    qy = q_ref[1:2, :]
+    qz = q_ref[2:3, :]
+    r2 = r2_ref[0]
+
+    def body(scratch, sems):
+        def get_dma(slot, m_tile):
+            return pltpu.make_async_copy(
+                t_hbm.at[t_id, :, pl.ds(m_tile * BM, BM)],
+                scratch.at[slot],
+                sems.at[slot],
+            )
+
+        @pl.when(lo < hi)
+        def _():
+            get_dma(0, lo).start()
+
+        def loop(m_tile, counts):
+            slot = jax.lax.rem(m_tile - lo, 2)
+            nxt = jax.lax.rem(m_tile - lo + 1, 2)
+
+            @pl.when(m_tile + 1 < hi)
+            def _():
+                get_dma(nxt, m_tile + 1).start()
+
+            get_dma(slot, m_tile).wait()
+            t = scratch[slot]
+            dx = t[0, :, None] - qx
+            dy = t[1, :, None] - qy
+            dz = t[2, :, None] - qz
+            d2 = dx * dx + dy * dy + dz * dz
+            hit = (d2 <= r2).astype(jnp.int32)
+            return counts + jnp.sum(hit, axis=0, keepdims=True)
+
+        counts = jax.lax.fori_loop(lo, hi, loop, jnp.zeros((1, BN), jnp.int32))
+        counts_ref[:] = counts
+
+    pl.run_scoped(
+        body,
+        scratch=pltpu.VMEM((2, 3, BM), jnp.float32),
+        sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def radius_count_sorted(q_sorted, t_sorted, lohi, r2, interpret: bool = False):
+    """q_sorted (3, Nq) x-sorted queries; t_sorted (T, 3, M) x-sorted
+    traversal pools (padding x=+1e9); lohi (T, nq, 2) int32 m-tile windows.
+
+    Returns (T, Nq) int32 counts.
+    """
+    _, nq_total = q_sorted.shape
+    t_count, _, m = t_sorted.shape
+    nq = nq_total // BN
+    assert nq_total % BN == 0 and m % BM == 0
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # lohi, r2
+        grid=(t_count, nq),
+        in_specs=[
+            pl.BlockSpec((3, BN), lambda t, i, *_: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # traversal pool stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, BN), lambda t, i, *_: (t, i), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _count_kernel_wrapped,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_count, nq_total), jnp.int32),
+        interpret=interpret,
+    )(lohi, jnp.asarray([r2], jnp.float32), q_sorted, t_sorted)
+
+
+def compute_tile_windows(q_sorted_x, t_sorted_x, radius):
+    """(T, nq, 2) int32 m-tile [lo, hi) windows per query tile.
+
+    q_sorted_x (Nq,) ascending; t_sorted_x (T, M) ascending per traversal.
+    """
+    nq = q_sorted_x.shape[0] // BN
+    q_tiles = q_sorted_x.reshape(nq, BN)
+    tile_min = q_tiles.min(axis=1) - radius
+    tile_max = q_tiles.max(axis=1) + radius
+
+    def per_traversal(tx):
+        start = jnp.searchsorted(tx, tile_min, side="left")
+        end = jnp.searchsorted(tx, tile_max, side="right")
+        lo = start // BM
+        hi = (end + BM - 1) // BM
+        hi = jnp.maximum(hi, lo)
+        empty = start >= end
+        lo = jnp.where(empty, 0, lo)
+        hi = jnp.where(empty, 0, hi)
+        return jnp.stack([lo, hi], axis=1).astype(jnp.int32)
+
+    return jax.vmap(per_traversal)(t_sorted_x)

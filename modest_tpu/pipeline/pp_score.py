@@ -293,6 +293,12 @@ def pp_score_for_frame_cached(index: TraversalIndex, cache: DeviceFrameCache,
                               origin_idx: int, radius: float,
                               limit_traversals: int = -1) -> np.ndarray:
     """PP score with device-cached frames (fast path of pp_score_for_frame)."""
+    if jax.default_backend() != "cpu":
+        # sorted-window Pallas kernel: only x-overlapping tiles are touched
+        counts, n = pp_counts_cached_sorted(
+            index, cache, origin_idx, radius, limit_traversals
+        )
+        return compute_ephe_score(counts).astype(np.float32)
     _, _, neighbors = index.valid_idx[origin_idx]
     if limit_traversals > 1:
         neighbors = neighbors[:limit_traversals]
@@ -352,3 +358,101 @@ def pp_score_for_frame_cached(index: TraversalIndex, cache: DeviceFrameCache,
         np.float32(radius * radius), chunk=cache.chunk,
     )
     return compute_ephe_score(np.asarray(counts)[:n]).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("t_count", "fmax", "interpret"))
+def _sorted_pool_counts(q_pad, frames, fmask, rot, trans, r, t_count: int,
+                        fmax: int, interpret: bool = False):
+    """Transform cached frames on device, build x-sorted per-traversal pools,
+    run the windowed Pallas radius count. q_pad (Nq,3) with x=+1e9 padding;
+    frames (T*fmax, Mp, 3) grouped by traversal; returns (Nq, t_count)."""
+    from ..ops.pallas_radius_count import compute_tile_windows, radius_count_sorted
+
+    pts = jnp.einsum(
+        "fij,fmj->fmi", rot, frames,
+        precision=jax.lax.Precision.HIGHEST,
+    ) + trans[:, None, :]
+    big = jnp.float32(1e9)
+    x = jnp.where(fmask, pts[..., 0], big)
+    y = jnp.where(fmask, pts[..., 1], big)
+    z = jnp.where(fmask, pts[..., 2], big)
+    m = fmax * frames.shape[1]
+    x = x.reshape(t_count, m)
+    y = y.reshape(t_count, m)
+    z = z.reshape(t_count, m)
+    sx, sy, sz = jax.lax.sort((x, y, z), dimension=1, num_keys=1)
+    t_sorted = jnp.stack([sx, sy, sz], axis=1)  # (T, 3, M)
+
+    order = jnp.argsort(q_pad[:, 0], stable=True)
+    q_s = q_pad[order]  # (Nq, 3)
+    lohi = compute_tile_windows(q_s[:, 0], sx, r)
+    counts = radius_count_sorted(
+        q_s.T, t_sorted, lohi, jnp.float32(r * r), interpret=interpret
+    )  # (T, Nq)
+    inv = jnp.argsort(order, stable=True)
+    return counts.T[inv]
+
+
+def pp_counts_cached_sorted(index: TraversalIndex, cache: DeviceFrameCache,
+                            origin_idx: int, radius: float,
+                            limit_traversals: int = -1,
+                            interpret: bool = False):
+    """(N, T) counts for one origin frame via the sorted-window kernel."""
+    _, _, neighbors = index.valid_idx[origin_idx]
+    if limit_traversals > 1:
+        neighbors = neighbors[:limit_traversals]
+    first_seq, first_indices = neighbors[0]
+    first_pose = index.poses[first_seq][first_indices[0]]
+    first_l2e = index.l2es[first_seq][first_indices[0]]
+
+    t_count = len(neighbors)
+    fmax = max(len(indices) for _, indices in neighbors)
+    # group frames per traversal in fixed slabs of fmax (dummies masked out)
+    dev_rows, mask_rows, rots, transs = [], [], [], []
+    dummy = None
+    for seq_id, indices in neighbors:
+        rows = []
+        for frame in indices:
+            rel = get_relative_pose(
+                fixed_l2e=first_l2e, fixed_ego=first_pose,
+                query_l2e=index.l2es[seq_id][frame],
+                query_ego=index.poses[seq_id][frame],
+                kitti2nu=index.kitti2nu,
+            )
+            gid = index.track_list[seq_id][frame]
+            fr, fm = cache.frame(gid)
+            dummy = dummy or (fr, fm)
+            rows.append((fr, fm, rel[:3, :3], rel[:3, 3]))
+        while len(rows) < fmax:
+            rows.append((dummy[0], jnp.zeros_like(dummy[1]), np.eye(3, dtype=np.float32),
+                         np.zeros(3, np.float32)))
+        for fr, fm, R, t in rows:
+            dev_rows.append(fr)
+            mask_rows.append(fm)
+            rots.append(R)
+            transs.append(t)
+
+    frames = jnp.stack(dev_rows)
+    fmask = jnp.stack(mask_rows)
+    rot = jnp.asarray(np.stack(rots), jnp.float32)
+    trans = jnp.asarray(np.stack(transs), jnp.float32)
+
+    origin_seq, origin_frame, _ = index.valid_idx[origin_idx]
+    trans_mat = get_relative_pose(
+        fixed_l2e=first_l2e, fixed_ego=first_pose,
+        query_l2e=index.l2es[origin_seq][origin_frame],
+        query_ego=index.poses[origin_seq][origin_frame],
+        kitti2nu=index.kitti2nu,
+    )
+    origin_ptc = transform_points(index.origin_cloud(origin_idx), trans_mat)
+    n = origin_ptc.shape[0]
+    from ..ops.pallas_radius_count import BN
+
+    n_pad = max(BN, ((n + BN - 1) // BN) * BN)
+    q = np.full((n_pad, 3), 1e9, np.float32)
+    q[:n] = origin_ptc[:, :3]
+    counts = _sorted_pool_counts(
+        jnp.asarray(q), frames, fmask, rot, trans, np.float32(radius),
+        t_count=t_count, fmax=fmax, interpret=interpret,
+    )
+    return np.asarray(counts)[:n], n
