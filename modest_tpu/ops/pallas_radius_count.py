@@ -66,7 +66,7 @@ def _count_kernel_wrapped(lohi_ref, r2_ref, q_ref, t_hbm, counts_ref):
             return counts + jnp.sum(hit, axis=0, keepdims=True)
 
         counts = jax.lax.fori_loop(lo, hi, loop, jnp.zeros((1, BN), jnp.int32))
-        counts_ref[:] = counts
+        counts_ref[pl.ds(t_id, 1), pl.ds(q_id * BN, BN)] = counts
 
     pl.run_scoped(
         body,
@@ -94,7 +94,10 @@ def radius_count_sorted(q_sorted, t_sorted, lohi, r2, interpret: bool = False):
             pl.BlockSpec((3, BN), lambda t, i, *_: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # traversal pool stays in HBM
         ],
-        out_specs=pl.BlockSpec((1, BN), lambda t, i, *_: (t, i), memory_space=pltpu.VMEM),
+        # full-array output block: per-(t, i) blocks of (1, BN) violate the
+        # (8, 128) tiling constraint; the whole (T, Nq) counts array is small
+        # enough to live in VMEM and each step writes its slice
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         _count_kernel_wrapped,
