@@ -57,10 +57,12 @@ def _count_kernel_wrapped(lohi_ref, r2_ref, q_ref, t_hbm, counts_ref):
                 get_dma(nxt, m_tile + 1).start()
 
             get_dma(slot, m_tile).wait()
-            t = scratch[slot]
-            dx = t[0, :, None] - qx
-            dy = t[1, :, None] - qy
-            dz = t[2, :, None] - qz
+            # dynamic first-index reads lower to an unsupported gather in
+            # Mosaic; select between the two static buffers instead
+            t = jnp.where(slot == 0, scratch[0], scratch[1])
+            dx = jnp.transpose(t[0:1, :]) - qx  # (BM, 1) - (1, BN)
+            dy = jnp.transpose(t[1:2, :]) - qy
+            dz = jnp.transpose(t[2:3, :]) - qz
             d2 = dx * dx + dy * dy + dz * dz
             hit = (d2 <= r2).astype(jnp.int32)
             return counts + jnp.sum(hit, axis=0, keepdims=True)
@@ -70,15 +72,16 @@ def _count_kernel_wrapped(lohi_ref, r2_ref, q_ref, t_hbm, counts_ref):
 
     pl.run_scoped(
         body,
-        scratch=pltpu.VMEM((2, 3, BM), jnp.float32),
+        scratch=pltpu.VMEM((2, 8, BM), jnp.float32),
         sems=pltpu.SemaphoreType.DMA((2,)),
     )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def radius_count_sorted(q_sorted, t_sorted, lohi, r2, interpret: bool = False):
-    """q_sorted (3, Nq) x-sorted queries; t_sorted (T, 3, M) x-sorted
-    traversal pools (padding x=+1e9); lohi (T, nq, 2) int32 m-tile windows.
+    """q_sorted (3, Nq) x-sorted queries; t_sorted (T, 8, M) x-sorted
+    traversal pools, coords in rows 0-2 (8 rows: HBM DMA slices need
+    8-aligned sublanes), padding x=+1e9; lohi (T, nq, 2) int32 windows.
 
     Returns (T, Nq) int32 counts.
     """

@@ -381,7 +381,9 @@ def _sorted_pool_counts(q_pad, frames, fmask, rot, trans, r, t_count: int,
     y = y.reshape(t_count, m)
     z = z.reshape(t_count, m)
     sx, sy, sz = jax.lax.sort((x, y, z), dimension=1, num_keys=1)
-    t_sorted = jnp.stack([sx, sy, sz], axis=1)  # (T, 3, M)
+    zero = jnp.zeros_like(sx)
+    # 8 coordinate rows: HBM DMA slices must be 8-aligned in the sublane dim
+    t_sorted = jnp.stack([sx, sy, sz, zero, zero, zero, zero, zero], axis=1)
 
     order = jnp.argsort(q_pad[:, 0], stable=True)
     q_s = q_pad[order]  # (Nq, 3)
