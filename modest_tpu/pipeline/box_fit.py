@@ -238,3 +238,81 @@ def closeness_rectangle_auto(cluster_ptc: np.ndarray, delta=0.1, d0=1e-2):
 
 
 FIT_METHODS["closeness_to_edge"] = closeness_rectangle_auto
+
+
+def closeness_angles_batched(clusters, delta=0.1, d0=1e-2):
+    """Best closeness angle per cluster, ONE device call for all clusters.
+
+    clusters: list of (n_i, 2) arrays. Returns list of angles (floats).
+    Each per-cluster device round trip costs ~100+ ms through the axon relay;
+    batching the whole frame's clusters amortizes it away.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    key = (round(delta, 6),)
+    if key not in _ANGLE_CACHE:
+        angles = np.arange(0, 90 + delta, delta) / 180.0 * np.pi
+        c, s = np.cos(angles), np.sin(angles)
+        _ANGLE_CACHE[key] = (
+            jnp.asarray(np.concatenate([np.stack([c, s]), np.stack([-s, c])], axis=1,
+                                       dtype=np.float32)),
+            angles,
+        )
+    angles_cs, angles_np = _ANGLE_CACHE[key]
+
+    c_count = len(clusters)
+    c_pad = max(1, 1 << (c_count - 1).bit_length())
+    p_max = max(cl.shape[0] for cl in clusters)
+    p_pad = max(256, 1 << (p_max - 1).bit_length())
+    pts = np.zeros((c_pad, p_pad, 2), np.float32)
+    mask = np.zeros((c_pad, p_pad), bool)
+    for i, cl in enumerate(clusters):
+        pts[i, : cl.shape[0]] = cl
+        mask[i, : cl.shape[0]] = True
+
+    global _CLOSENESS_BATCH_JIT
+    try:
+        fn = _CLOSENESS_BATCH_JIT
+    except NameError:
+        fn = _CLOSENESS_BATCH_JIT = jax.jit(
+            jax.vmap(_closeness_scores_jax, in_axes=(0, 0, None, None))
+        )
+    scores = np.asarray(fn(jnp.asarray(pts), jnp.asarray(mask), angles_cs,
+                           np.float32(d0)))  # (C, A)
+    return [float(angles_np[int(np.argmax(scores[i]))]) for i in range(c_count)]
+
+
+def fit_objs_batched(ptc_rect, labels, n_clusters, fit_method="closeness_to_edge",
+                     delta=0.1, d0=1e-2):
+    """Fit all clusters of a frame; one device call for the angle scans.
+
+    Returns list of (cluster_id, obj). Falls back to per-cluster fitters for
+    non-closeness methods.
+    """
+    import jax
+
+    clusters = [(i, ptc_rect[labels == i][:, [0, 2]]) for i in range(1, n_clusters + 1)]
+    clusters = [(i, c) for i, c in clusters if c.shape[0] > 0]
+    if not clusters:
+        return []
+    if fit_method != "closeness_to_edge" or jax.default_backend() == "cpu":
+        return [(i, get_obj(ptc_rect[labels == i], ptc_rect, fit_method)) for i, _ in clusters]
+
+    angles = closeness_angles_batched([c for _, c in clusters], delta, d0)
+    out = []
+    for (i, cl), angle in zip(clusters, angles):
+        corners, ry, area = _finalize(cl, angle)
+        ry = -ry
+        l = float(np.linalg.norm(corners[0] - corners[1]))
+        w = float(np.linalg.norm(corners[0] - corners[-1]))
+        c = (corners[0] + corners[2]) / 2
+        cluster_rect = ptc_rect[labels == i]
+        bottom = get_lowest_point_rect(ptc_rect, c, l, w, ry)
+        h = float(bottom - cluster_rect[:, 1].min())
+        obj = types.SimpleNamespace(
+            t=np.array([c[0], bottom, c[1]]), l=l, w=w, h=h, ry=float(ry),
+            volume=float(area * h),
+        )
+        out.append((i, obj))
+    return out

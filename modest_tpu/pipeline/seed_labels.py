@@ -81,9 +81,11 @@ def generate_mask_for_frame(ptc: np.ndarray, pp_score: np.ndarray, calib, cfg):
     labels = filter_labels(ptc, pp_score, labels, **cfg.filtering.to_dict())
 
     ptc_rect = calib.project_velo_to_rect(ptc[:, :3])
+    from .box_fit import fit_objs_batched
+
     objs = []
-    for i in range(1, labels.max() + 1):
-        obj = get_obj(ptc_rect[labels == i], ptc_rect, fit_method=cfg.bbox_gen.fit_method)
+    for i, obj in fit_objs_batched(ptc_rect, labels, int(labels.max()),
+                                   fit_method=cfg.bbox_gen.fit_method):
         if cfg.filtering.min_volume < obj.volume < cfg.filtering.max_volume:
             objs.append(obj)
         else:

@@ -325,3 +325,28 @@ def test_tracking_association():
     # midpoint between frames
     mid = interpolate_track(long, 2)  # integer frames only here
     assert np.isfinite(mid).all()
+
+
+def test_batched_closeness_matches_per_cluster():
+    """closeness_angles_batched (one device call for all clusters) must pick
+    the same argmax angle as the per-cluster numpy scan."""
+    from modest_tpu.pipeline.box_fit import (
+        closeness_angles_batched,
+        closeness_rectangle,
+    )
+
+    rng = np.random.RandomState(7)
+    clusters = []
+    for i in range(5):
+        n = rng.randint(20, 400)
+        ang = rng.uniform(0, np.pi / 2)
+        c, s = np.cos(ang), np.sin(ang)
+        box = rng.uniform(-1, 1, (n, 2)) * [2.0, 0.8]
+        clusters.append((box @ np.array([[c, s], [-s, c]])).astype(np.float32)
+                        + rng.uniform(-20, 20, 2).astype(np.float32))
+    angles = closeness_angles_batched(clusters)
+    for cl, ang in zip(clusters, angles):
+        _, ref_angle, _ = closeness_rectangle(cl)
+        # _finalize may add pi/2; compare pre-flip scan argmax modulo that
+        assert min(abs(ang - ref_angle), abs(ang + np.pi / 2 - ref_angle),
+                   abs(ang - np.pi / 2 - ref_angle)) < 0.35 / 180 * np.pi
