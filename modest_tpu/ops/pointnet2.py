@@ -108,7 +108,11 @@ def ball_query_from_dist2(d2, radius: float, nsample: int):
     col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, d2.ndim - 1)
     # rank by index: valid hits keep -index (larger = earlier), invalid -> -inf
     score = jnp.where(in_ball, -col.astype(jnp.float32), -jnp.inf)
-    top_scores, top_idx = _fast_top_k(score, nsample)  # earliest indices first
+    top_scores, top_idx = _fast_top_k(score, min(nsample, n))
+    if nsample > n:  # fewer source points than samples: wrap-fill like the
+        reps = -(-nsample // n)  # reference (first hit repeats below anyway)
+        top_scores = jnp.concatenate([top_scores] * reps, -1)[..., :nsample]
+        top_idx = jnp.concatenate([top_idx] * reps, -1)[..., :nsample]
     valid = jnp.isfinite(top_scores)
     first = top_idx[..., 0:1]  # first in-ball hit (or garbage if none)
     any_hit = valid[..., 0:1]
