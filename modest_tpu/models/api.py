@@ -32,6 +32,10 @@ def compute_loss(out, gt_boxes, model_cfg, num_class: int = 1):
         from .grid_detectors import grid_detector_loss
 
         return grid_detector_loss(out, model_cfg, num_class)
+    if model_cfg.NAME == "PVRCNN":
+        from .pv_rcnn import pvrcnn_loss
+
+        return pvrcnn_loss(out, gt_boxes, model_cfg, num_class)
     from .pointrcnn import pointrcnn_loss
 
     return pointrcnn_loss(out, gt_boxes, model_cfg, num_class)
@@ -42,6 +46,7 @@ def post_process(out, model_cfg):
         from .grid_detectors import grid_post_process
 
         return grid_post_process(out, model_cfg.POST_PROCESSING)
+    # two-stage heads (PointRCNN, PVRCNN) share the refined-box NMS path
     from .pointrcnn import post_process as prcnn_post
 
     final = prcnn_post(out, model_cfg.POST_PROCESSING)

@@ -186,13 +186,18 @@ class VoxelBackBone8x(nn.Module):
 
     Input: active voxels of the (41, ny, nx) grid with 4-ch mean features.
     Output: dense (B-less) (2, ny/8, nx/8, 128) per sample → caller stacks.
+    With ``return_multiscale`` also returns the x_conv1..x_conv4 sparse
+    feature sets (feats, coords zyx, valid, stride) for PV-RCNN's voxel set
+    abstraction (reference pv_rcnn.yaml FEATURES_SOURCE).
     """
+
+    return_multiscale: bool = False
 
     @nn.compact
     def __call__(self, feats, coords, keys, valid, shape_zyx, train: bool = False):
         s1 = shape_zyx
         x = SparseBasicBlock(16, name="conv_input")(feats, coords, keys, valid, s1, train)
-        x = SparseBasicBlock(16, name="conv1")(x, coords, keys, valid, s1, train)
+        x = x1 = SparseBasicBlock(16, name="conv1")(x, coords, keys, valid, s1, train)
 
         def down(x, coords, keys, valid, s_in, cout, stride, padding, name):
             s_out = _down_shape(s_in, stride, padding)
@@ -204,15 +209,15 @@ class VoxelBackBone8x(nn.Module):
 
         x, c2, k2, v2, s2 = down(x, coords, keys, valid, s1, 32, (2, 2, 2), (1, 1, 1), "conv2_down")
         x = SparseBasicBlock(32, name="conv2_a")(x, c2, k2, v2, s2, train)
-        x = SparseBasicBlock(32, name="conv2_b")(x, c2, k2, v2, s2, train)
+        x = x2 = SparseBasicBlock(32, name="conv2_b")(x, c2, k2, v2, s2, train)
 
         x, c3, k3, v3, s3 = down(x, c2, k2, v2, s2, 64, (2, 2, 2), (1, 1, 1), "conv3_down")
         x = SparseBasicBlock(64, name="conv3_a")(x, c3, k3, v3, s3, train)
-        x = SparseBasicBlock(64, name="conv3_b")(x, c3, k3, v3, s3, train)
+        x = x3 = SparseBasicBlock(64, name="conv3_b")(x, c3, k3, v3, s3, train)
 
         x, c4, k4, v4, s4 = down(x, c3, k3, v3, s3, 64, (2, 2, 2), (0, 1, 1), "conv4_down")
         x = SparseBasicBlock(64, name="conv4_a")(x, c4, k4, v4, s4, train)
-        x = SparseBasicBlock(64, name="conv4_b")(x, c4, k4, v4, s4, train)
+        x = x4 = SparseBasicBlock(64, name="conv4_b")(x, c4, k4, v4, s4, train)
 
         # conv_out: kernel (3,1,1) stride (2,1,1) padding 0 → z: 5→2
         s5 = _down_shape(s4, (2, 1, 1), (0, 0, 0), (3, 1, 1))
@@ -229,4 +234,14 @@ class VoxelBackBone8x(nn.Module):
         dense = dense.at[key5].set(jnp.where(v5[:, None], x, 0.0))
         dense = dense[:-1].reshape(nz, ny, nx, -1)
         bev = jnp.transpose(dense, (1, 2, 0, 3)).reshape(ny, nx, nz * x.shape[-1])
+        if self.return_multiscale:
+            # strides are static: x_conv1=1, x_conv2=2, x_conv3=4, x_conv4=8
+            # (kept out of the return value so vmap doesn't batch them)
+            multiscale = {
+                "x_conv1": (x1, coords, valid),
+                "x_conv2": (x2, c2, v2),
+                "x_conv3": (x3, c3, v3),
+                "x_conv4": (x4, c4, v4),
+            }
+            return bev, multiscale
         return bev

@@ -213,3 +213,28 @@ def voxel_query(new_xyz, new_cnt, voxel_keys, voxel_valid, voxel_centers,
     idx = jnp.where(any_hit, jnp.where(valid, sel, first), 0).astype(jnp.int32)
     qm = mask_from_counts(new_cnt, m)
     return idx, (~any_hit[..., 0]) | (~qm)
+
+
+def ball_query_masked(xyz, xyz_mask, new_xyz, radius: float, nsample: int):
+    """Mask-based ball query (active sets that are not front-packed, e.g.
+    sparse-conv voxel lists). Returns (idx, empty)."""
+    d2 = pairwise_dist2(new_xyz, xyz)
+    d2 = jnp.where(xyz_mask[:, None, :], d2, BIG)
+    idx, valid = ball_query_from_dist2(d2, radius, nsample)
+    return idx, ~valid[..., 0]
+
+
+def query_and_group_masked(xyz, xyz_mask, features, new_xyz, radius: float,
+                           nsample: int, use_xyz: bool = True):
+    """Mask-based QueryAndGroup; empty balls zeroed."""
+    idx, empty = ball_query_masked(xyz, xyz_mask, new_xyz, radius, nsample)
+    b, m, ns = idx.shape
+    flat = idx.reshape(b, m * ns)
+    grouped_xyz = gather_points(xyz, flat).reshape(b, m, ns, 3) - new_xyz[:, :, None, :]
+    if features is not None:
+        grouped_feat = gather_points(features, flat).reshape(b, m, ns, -1)
+        out = (jnp.concatenate([grouped_xyz, grouped_feat], -1)
+               if use_xyz else grouped_feat)
+    else:
+        out = grouped_xyz
+    return jnp.where(empty[:, :, None, None], 0.0, out), empty
