@@ -21,4 +21,11 @@ def build_network(model_cfg, num_class: int, dataset):
                       point_cloud_range=dataset.point_cloud_range,
                       voxel_size=dataset.voxel_size,
                       grid_size=dataset.grid_size)
+    if name == "VoxelRCNN":
+        from .voxel_rcnn import VoxelRCNN
+
+        return VoxelRCNN(model_cfg=model_cfg, num_class=num_class,
+                         point_cloud_range=dataset.point_cloud_range,
+                         voxel_size=dataset.voxel_size,
+                         grid_size=dataset.grid_size)
     raise NotImplementedError(name)

@@ -36,6 +36,10 @@ def compute_loss(out, gt_boxes, model_cfg, num_class: int = 1):
         from .pv_rcnn import pvrcnn_loss
 
         return pvrcnn_loss(out, gt_boxes, model_cfg, num_class)
+    if model_cfg.NAME == "VoxelRCNN":
+        from .voxel_rcnn import voxelrcnn_loss
+
+        return voxelrcnn_loss(out, gt_boxes, model_cfg, num_class)
     from .pointrcnn import pointrcnn_loss
 
     return pointrcnn_loss(out, gt_boxes, model_cfg, num_class)

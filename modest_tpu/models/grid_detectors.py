@@ -424,3 +424,20 @@ def grid_post_process(out, post_cfg):
 
     fb, fs, fl, fm = jax.vmap(per_sample)(out["batch_cls_preds"], out["batch_box_preds"])
     return {"boxes": fb, "scores": fs, "labels": fl, "valid": fm, "rois": None}
+
+
+def decode_anchor_boxes(cfg, anchors, box_coder, cls_preds, box_preds, dir_preds):
+    """Anchor-decode + direction-bin snap, shared by all anchor-head models
+    (reference anchor_head_template.generate_predicted_boxes)."""
+    boxes = box_coder.decode(box_preds, anchors[None])
+    if dir_preds is not None:
+        dir_offset = float(cfg.DENSE_HEAD.DIR_OFFSET)
+        dir_limit = float(cfg.DENSE_HEAD.DIR_LIMIT_OFFSET)
+        bins = int(cfg.DENSE_HEAD.NUM_DIR_BINS)
+        dir_labels = dir_preds.argmax(axis=-1)
+        period = 2 * jnp.pi / bins
+        dir_rot = limit_period(boxes[..., 6] - dir_offset, dir_limit, period)
+        boxes = boxes.at[..., 6].set(
+            dir_rot + dir_offset + period * dir_labels.astype(boxes.dtype)
+        )
+    return cls_preds, boxes

@@ -232,9 +232,10 @@ class PVRCNN(nn.Module):
             elif name == "bev":
                 feats_list.append(bilinear_bev(bev, keypoints[..., :2], pcr, vs, 8))
             else:
-                vf, vcoords, vvalid = multiscale[name]
-                stride = {"x_conv1": 1, "x_conv2": 2, "x_conv3": 4, "x_conv4": 8}[name]
-                centers = voxel_centers(vcoords, stride, pcr, vs)
+                vf, vcoords, vvalid, _ = multiscale[name]
+                from .sparse_conv import BACKBONE_STRIDES
+
+                centers = voxel_centers(vcoords, BACKBONE_STRIDES[name], pcr, vs)
                 centers = jnp.where(vvalid[..., None], centers, 1e6)
                 feats_list.append(self.vsa_sources[name](
                     centers, vvalid, vf, keypoints, train=train))
@@ -302,22 +303,11 @@ class PVRCNN(nn.Module):
 
     def _decoded_boxes(self, cls_preds, box_preds, dir_preds):
         from ..utils.config import Config
-        from .grid_detectors import limit_period
+        from .grid_detectors import decode_anchor_boxes
 
         cfg = Config(self.cfg)  # flax re-freezes setup attrs
-        anchors = self._anchors[None]
-        boxes = self.box_coder.decode(box_preds, anchors)
-        if dir_preds is not None:
-            dir_offset = float(cfg.DENSE_HEAD.DIR_OFFSET)
-            dir_limit = float(cfg.DENSE_HEAD.DIR_LIMIT_OFFSET)
-            bins = int(cfg.DENSE_HEAD.NUM_DIR_BINS)
-            dir_labels = dir_preds.argmax(axis=-1)
-            period = 2 * jnp.pi / bins
-            dir_rot = limit_period(boxes[..., 6] - dir_offset, dir_limit, period)
-            boxes = boxes.at[..., 6].set(
-                dir_rot + dir_offset + period * dir_labels.astype(boxes.dtype)
-            )
-        return cls_preds, boxes
+        return decode_anchor_boxes(cfg, self._anchors, self.box_coder,
+                                   cls_preds, box_preds, dir_preds)
 
 
 def pvrcnn_loss(out, gt_boxes, cfg, num_class: int = 1):

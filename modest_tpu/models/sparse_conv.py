@@ -236,12 +236,27 @@ class VoxelBackBone8x(nn.Module):
         bev = jnp.transpose(dense, (1, 2, 0, 3)).reshape(ny, nx, nz * x.shape[-1])
         if self.return_multiscale:
             # strides are static: x_conv1=1, x_conv2=2, x_conv3=4, x_conv4=8
-            # (kept out of the return value so vmap doesn't batch them)
+            # (kept out of the return value so vmap doesn't batch them);
+            # keys are sorted flat coords — valid input for ops.voxel_query
             multiscale = {
-                "x_conv1": (x1, coords, valid),
-                "x_conv2": (x2, c2, v2),
-                "x_conv3": (x3, c3, v3),
-                "x_conv4": (x4, c4, v4),
+                "x_conv1": (x1, coords, valid, keys),
+                "x_conv2": (x2, c2, v2, k2),
+                "x_conv3": (x3, c3, v3, k3),
+                "x_conv4": (x4, c4, v4, k4),
             }
             return bev, multiscale
         return bev
+
+
+BACKBONE_STRIDES = {"x_conv1": 1, "x_conv2": 2, "x_conv3": 4, "x_conv4": 8}
+
+
+def backbone_scale_shapes(grid_size):
+    """Static (nz, ny, nx) shape of each VoxelBackBone8x scale for a dataset
+    grid_size (nx, ny, nz). Mirrors the __call__ downsampling chain exactly —
+    heads that address voxel keys (voxel_query) must use these dims."""
+    s1 = (grid_size[2] + 1, grid_size[1], grid_size[0])  # z padded like spconv
+    s2 = _down_shape(s1, (2, 2, 2), (1, 1, 1))
+    s3 = _down_shape(s2, (2, 2, 2), (1, 1, 1))
+    s4 = _down_shape(s3, (2, 2, 2), (0, 1, 1))
+    return {"x_conv1": s1, "x_conv2": s2, "x_conv3": s3, "x_conv4": s4}
