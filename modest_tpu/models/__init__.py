@@ -28,4 +28,11 @@ def build_network(model_cfg, num_class: int, dataset):
                          point_cloud_range=dataset.point_cloud_range,
                          voxel_size=dataset.voxel_size,
                          grid_size=dataset.grid_size)
+    if name in ("PartA2", "PartA2Net"):
+        from .part_a2 import PartA2
+
+        return PartA2(model_cfg=model_cfg, num_class=num_class,
+                      point_cloud_range=dataset.point_cloud_range,
+                      voxel_size=dataset.voxel_size,
+                      grid_size=dataset.grid_size)
     raise NotImplementedError(name)

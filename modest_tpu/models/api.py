@@ -40,6 +40,10 @@ def compute_loss(out, gt_boxes, model_cfg, num_class: int = 1):
         from .voxel_rcnn import voxelrcnn_loss
 
         return voxelrcnn_loss(out, gt_boxes, model_cfg, num_class)
+    if model_cfg.NAME in ("PartA2", "PartA2Net"):
+        from .part_a2 import parta2_loss
+
+        return parta2_loss(out, gt_boxes, model_cfg, num_class)
     from .pointrcnn import pointrcnn_loss
 
     return pointrcnn_loss(out, gt_boxes, model_cfg, num_class)

@@ -260,3 +260,124 @@ def backbone_scale_shapes(grid_size):
     s3 = _down_shape(s2, (2, 2, 2), (1, 1, 1))
     s4 = _down_shape(s3, (2, 2, 2), (0, 1, 1))
     return {"x_conv1": s1, "x_conv2": s2, "x_conv3": s3, "x_conv4": s4}
+
+
+class SparseInverseConv3d(nn.Module):
+    """Inverse (transposed) sparse conv: coarse scale → the known fine active
+    set (reference spconv.SparseInverseConv3d in spconv_unet.py).
+
+    Each fine voxel f receives contributions from every coarse voxel c whose
+    k3 strided window covers it: c s.t. f ∈ [s·c − p, s·c − p + 2]. That is
+    ≤ 2 candidates per dim (8 total for s=2); each candidate contributes
+    through the kernel tap at offset f − (s·c − p) ∈ [0, 2]^3, so the op is
+    8 searchsorted lookups + one (Vf, 8·Cin) × (8·Cin, Cout) MXU contraction
+    with weights scattered into their tap slots.
+    """
+
+    out_channels: int
+    stride: tuple = (2, 2, 2)
+    padding: tuple = (1, 1, 1)
+
+    @nn.compact
+    def __call__(self, coarse_feats, coarse_keys, coarse_valid, coarse_shape_zyx,
+                 fine_coords, fine_valid, fine_shape_zyx):
+        cin = coarse_feats.shape[-1]
+        stride = jnp.asarray(self.stride, jnp.int32)
+        padding = jnp.asarray(self.padding, jnp.int32)
+        # 27 taps like a k3 conv; candidates select which tap applies
+        w = self.param(
+            "kernel", nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+            (27, cin, self.out_channels),
+        )
+
+        hi = (fine_coords + padding) // stride  # max candidate parent per dim
+        outs = jnp.zeros((fine_coords.shape[0], self.out_channels), jnp.float32)
+        for dz in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    c = hi - jnp.array([dz, dy, dx], jnp.int32)  # (Vf, 3)
+                    lo_in = c * stride - padding
+                    tap = fine_coords - lo_in  # (Vf, 3) in [0, 2] when valid
+                    ok = ((tap >= 0) & (tap <= 2)).all(-1)
+                    key, inb = flat_key(c, coarse_shape_zyx)
+                    idx = jnp.searchsorted(coarse_keys, key).astype(jnp.int32)
+                    idx_c = jnp.clip(idx, 0, coarse_keys.shape[0] - 1)
+                    hit = ok & inb & (coarse_keys[idx_c] == key) & coarse_valid[idx_c]
+                    g = coarse_feats[idx_c] * hit[:, None]  # (Vf, Cin)
+                    tap_id = jnp.clip((tap[:, 0] * 3 + tap[:, 1]) * 3 + tap[:, 2],
+                                      0, 26)
+                    wt = w[tap_id]  # (Vf, Cin, Cout)
+                    outs = outs + jnp.einsum(
+                        "vc,vco->vo", g, wt,
+                        preferred_element_type=jnp.float32)
+        return jnp.where(fine_valid[:, None], outs, 0.0)
+
+
+class SparseUNet(nn.Module):
+    """UNetV2 sparse encoder-decoder (reference backbones_3d/spconv_unet.py).
+
+    Encoder mirrors VoxelBackBone8x (+ conv_out BEV for the RPN); the decoder
+    walks back up with inverse convs and lateral SubM merges, ending with
+    16-ch features on the full-resolution active voxel set (the reference's
+    point-wise UNet features driving PartA2's seg + part heads).
+    """
+
+    @nn.compact
+    def __call__(self, feats, coords, keys, valid, shape_zyx, train: bool = False):
+        def block(c_out, name):
+            return SparseBasicBlock(c_out, name=name)
+
+        s1 = shape_zyx
+        x = block(16, "conv_input")(feats, coords, keys, valid, s1, train)
+        x1 = block(16, "conv1")(x, coords, keys, valid, s1, train)
+
+        def down(x, coords, keys, valid, s_in, cout, stride, padding, name):
+            s_out = _down_shape(s_in, stride, padding)
+            x, c, k, v = SparseConv3d(cout, stride, padding, name=name)(
+                x, coords, keys, valid, s_in, s_out
+            )
+            x = MaskedBatchNorm(name=name + "_bn")(x, v, train=train)
+            return nn.relu(x), c, k, v, s_out
+
+        x, c2, k2, v2, s2 = down(x1, coords, keys, valid, s1, 32, (2, 2, 2), (1, 1, 1), "conv2_down")
+        x = block(32, "conv2_a")(x, c2, k2, v2, s2, train)
+        x2 = block(32, "conv2_b")(x, c2, k2, v2, s2, train)
+
+        x, c3, k3, v3, s3 = down(x2, c2, k2, v2, s2, 64, (2, 2, 2), (1, 1, 1), "conv3_down")
+        x = block(64, "conv3_a")(x, c3, k3, v3, s3, train)
+        x3 = block(64, "conv3_b")(x, c3, k3, v3, s3, train)
+
+        x, c4, k4, v4, s4 = down(x3, c3, k3, v3, s3, 64, (2, 2, 2), (0, 1, 1), "conv4_down")
+        x = block(64, "conv4_a")(x, c4, k4, v4, s4, train)
+        x4 = block(64, "conv4_b")(x, c4, k4, v4, s4, train)
+
+        # RPN branch: conv_out + height compression, same as VoxelBackBone8x
+        s5 = _down_shape(s4, (2, 1, 1), (0, 0, 0), (3, 1, 1))
+        xo, c5, k5, v5 = SparseConv3d(
+            128, (2, 1, 1), (0, 0, 0), kernel=(3, 1, 1), name="conv_out"
+        )(x4, c4, k4, v4, s4, s5)
+        xo = nn.relu(MaskedBatchNorm(name="conv_out_bn")(xo, v5, train=train))
+        nz5, ny5, nx5 = s5
+        dense = jnp.zeros((nz5 * ny5 * nx5 + 1, xo.shape[-1]), xo.dtype)
+        key5 = jnp.where(v5, k5, nz5 * ny5 * nx5)
+        dense = dense.at[key5].set(jnp.where(v5[:, None], xo, 0.0))
+        bev = jnp.transpose(dense[:-1].reshape(nz5, ny5, nx5, -1),
+                            (1, 2, 0, 3)).reshape(ny5, nx5, nz5 * xo.shape[-1])
+
+        def up(coarse, ck, cv, cs, lateral, lcoords, lkeys, lvalid, ls,
+               stride, padding, cout, name):
+            u = SparseInverseConv3d(cout, stride, padding, name=name + "_inv")(
+                coarse, ck, cv, cs, lcoords, lvalid, ls
+            )
+            u = nn.relu(MaskedBatchNorm(name=name + "_inv_bn")(u, lvalid, train=train))
+            merged = jnp.concatenate([u, lateral], axis=-1)
+            m = SubMConv3d(cout, name=name + "_merge")(merged, lcoords, lkeys,
+                                                       lvalid, ls)
+            m = nn.relu(MaskedBatchNorm(name=name + "_merge_bn")(m, lvalid, train=train))
+            return m
+
+        u3 = up(x4, k4, v4, s4, x3, c3, k3, v3, s3, (2, 2, 2), (0, 1, 1), 64, "up4")
+        u2 = up(u3, k3, v3, s3, x2, c2, k2, v2, s2, (2, 2, 2), (1, 1, 1), 32, "up3")
+        u1 = up(u2, k2, v2, s2, x1, coords, keys, valid, s1, (2, 2, 2), (1, 1, 1), 16, "up2")
+
+        return bev, u1  # (ny/8, nx/8, 256), (V, 16) point-wise features
