@@ -28,6 +28,13 @@ def build_network(model_cfg, num_class: int, dataset):
                          point_cloud_range=dataset.point_cloud_range,
                          voxel_size=dataset.voxel_size,
                          grid_size=dataset.grid_size)
+    if name in ("SECONDNetIoU", "SECONDIoU"):
+        from .second_iou import SECONDIoU
+
+        return SECONDIoU(model_cfg=model_cfg, num_class=num_class,
+                         point_cloud_range=dataset.point_cloud_range,
+                         voxel_size=dataset.voxel_size,
+                         grid_size=dataset.grid_size)
     if name in ("PartA2", "PartA2Net"):
         from .part_a2 import PartA2
 
@@ -35,4 +42,11 @@ def build_network(model_cfg, num_class: int, dataset):
                       point_cloud_range=dataset.point_cloud_range,
                       voxel_size=dataset.voxel_size,
                       grid_size=dataset.grid_size)
+    if name == "CaDDN":
+        from .caddn import CaDDN
+
+        return CaDDN(model_cfg=model_cfg, num_class=num_class,
+                     point_cloud_range=dataset.point_cloud_range,
+                     voxel_size=dataset.voxel_size,
+                     grid_size=dataset.grid_size)
     raise NotImplementedError(name)

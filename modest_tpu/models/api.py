@@ -44,6 +44,16 @@ def compute_loss(out, gt_boxes, model_cfg, num_class: int = 1):
         from .part_a2 import parta2_loss
 
         return parta2_loss(out, gt_boxes, model_cfg, num_class)
+    if model_cfg.NAME in ("SECONDNetIoU", "SECONDIoU"):
+        from .second_iou import second_iou_loss
+
+        return second_iou_loss(out, gt_boxes, model_cfg, num_class)
+    if model_cfg.NAME == "CaDDN":
+        # camera models take (images, lidar_to_cam, cam_to_img) batches and
+        # are driven by their own apply path; loss shares the dispatch
+        from .caddn import caddn_loss
+
+        return caddn_loss(out, gt_boxes, model_cfg, num_class)
     from .pointrcnn import pointrcnn_loss
 
     return pointrcnn_loss(out, gt_boxes, model_cfg, num_class)

@@ -32,7 +32,13 @@ TWO_PI = 2 * jnp.pi
 def proposal_layer(box_preds, cls_preds, nms_pre: int, nms_post: int, nms_thresh: float):
     """box_preds (B, N, 7), cls_preds (B, N, C) →
     rois (B, nms_post, 7), roi_scores (B, nms_post), roi_labels (B, nms_post),
-    roi_valid (B, nms_post). Scores are raw logits (sigmoid is monotonic)."""
+    roi_valid (B, nms_post). Scores are raw logits (sigmoid is monotonic).
+
+    Proposals are gradient-stopped like the reference's @torch.no_grad()
+    proposal_layer — stage 1 learns only from its own losses, and the
+    backward graph skips NMS/decode entirely."""
+    box_preds = jax.lax.stop_gradient(box_preds)
+    cls_preds = jax.lax.stop_gradient(cls_preds)
 
     def per_sample(boxes, cls):
         scores = cls.max(axis=-1)

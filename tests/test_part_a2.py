@@ -116,3 +116,54 @@ def test_parta2_forward_backward(rng):
     final = post_process(out_e, cfg)
     assert final["boxes"].shape == (2, 16, 7)
     assert np.isfinite(np.asarray(final["scores"])).all()
+
+
+def test_second_iou_forward_backward(rng):
+    from modest_tpu.models import second_iou as si
+    from modest_tpu.utils.config import Config
+    from tests.test_grid_detectors import _toy_batch, second_model_cfg
+
+    cfg = second_model_cfg()
+    cfg.NAME = "SECONDNetIoU"
+    cfg.ROI_HEAD = Config({
+        "NAME": "SECONDHead", "CLASS_AGNOSTIC": True,
+        "GRID_SIZE": 4, "SHARED_FC": [16], "IOU_FC": [16],
+        "NMS_CONFIG": {
+            "TRAIN": {"NMS_PRE_MAXSIZE": 128, "NMS_POST_MAXSIZE": 32,
+                      "NMS_THRESH": 0.8},
+            "TEST": {"NMS_PRE_MAXSIZE": 128, "NMS_POST_MAXSIZE": 16,
+                     "NMS_THRESH": 0.7},
+        },
+        "LOSS_CONFIG": {"LOSS_WEIGHTS": {"rcnn_iou_weight": 1.0}},
+    })
+    pcr = [0, -8, -3, 16, 8, 1]
+    vs, gs = [0.5, 0.5, 0.125], (32, 32, 32)
+    model = si.SECONDIoU(model_cfg=cfg, num_class=1, point_cloud_range=pcr,
+                         voxel_size=vs, grid_size=gs)
+    pts, gt = _toy_batch(rng, (16 / 3, -8 / 3))
+    variables = model.init(jax.random.PRNGKey(0), pts, gt, train=True,
+                           max_voxels=512)
+    out, _ = model.apply(variables, pts, gt, train=True, max_voxels=512,
+                         mutable=["batch_stats"])
+    loss, metrics = si.second_iou_loss(out, gt, cfg)
+    assert np.isfinite(float(loss)), metrics
+    assert out["rcnn_iou"].shape == (2, 32, 1)
+    assert np.asarray(out["iou_targets"]).max() <= 1.0
+
+    def loss_fn(params):
+        o, _ = model.apply({"params": params, "batch_stats": variables["batch_stats"]},
+                           pts, gt, train=True, max_voxels=512,
+                           mutable=["batch_stats"])
+        return si.second_iou_loss(o, gt, cfg)[0]
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree_util.tree_leaves(grads))
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    touched = {jax.tree_util.keystr(p).split("'")[1] for p, _ in flat}
+    assert "iou_head" in touched and "iou_mlp" in touched
+
+    from modest_tpu.models.api import post_process
+    out_e = model.apply(variables, pts, train=False, max_voxels=512)
+    final = post_process(out_e, cfg)
+    assert final["boxes"].shape == (2, 16, 7)
