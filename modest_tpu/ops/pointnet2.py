@@ -120,6 +120,17 @@ def ball_query_from_dist2(d2, radius: float, nsample: int):
     return jnp.where(any_hit, filled, 0).astype(jnp.int32), valid & any_hit
 
 
+def _gather_feats_hbm(features, flat):
+    """Feature gather in bf16 on TPU: the (B, M·ns, C) random-access gather
+    is HBM-bound, so moving activations (not coordinates) at half width is
+    ~2x on the hot path; values are upcast right after. Activations survive
+    bf16 easily (the reference trains these nets under fp16 AMP); CPU keeps
+    f32 so oracle tests stay exact."""
+    if jax.default_backend() == "cpu" or features.dtype != jnp.float32:
+        return gather_points(features, flat)
+    return gather_points(features.astype(jnp.bfloat16), flat).astype(jnp.float32)
+
+
 def query_and_group(xyz, new_xyz, features, d2, radius: float, nsample: int,
                     use_xyz: bool = True):
     """Group features around centers (reference QueryAndGroup).
@@ -135,7 +146,7 @@ def query_and_group(xyz, new_xyz, features, d2, radius: float, nsample: int,
     if features is None:
         assert use_xyz
         return grouped_xyz
-    grouped_feat = gather_points(features, flat).reshape(b, m, ns, features.shape[-1])
+    grouped_feat = _gather_feats_hbm(features, flat).reshape(b, m, ns, features.shape[-1])
     if use_xyz:
         return jnp.concatenate([grouped_xyz, grouped_feat], axis=-1)
     return grouped_feat
@@ -183,7 +194,7 @@ def three_nn(unknown, known):
 def three_interpolate(features, idx, weight):
     """(B, m, C), (B, n, 3), (B, n, 3) → (B, n, C)."""
     b, n, _ = idx.shape
-    gathered = gather_points(features, idx.reshape(b, -1)).reshape(b, n, 3, -1)
+    gathered = _gather_feats_hbm(features, idx.reshape(b, -1)).reshape(b, n, 3, -1)
     return (gathered * weight[..., None]).sum(axis=2)
 
 
@@ -240,3 +251,46 @@ def roipoint_pool3d(points, point_features, boxes3d, num_sampled_points: int = 5
     return jax.vmap(  # over batch
         lambda pts, feats, boxes: jax.vmap(lambda b: per_box(pts, feats, b))(boxes)
     )(points, point_features, big)
+
+
+def nearest_topk(d2, k: int):
+    """(…, N) squared dists → (top_d2, top_idx) of the k nearest, ascending.
+
+    One pass over d2 directly — no score materialization (the index-rank
+    trick in ball_query_from_dist2 writes a second (…, N) array before its
+    top_k; at backbone scale that is an extra GB of HBM traffic per level).
+    """
+    if jax.default_backend() == "cpu" or k >= d2.shape[-1]:
+        neg, idx = jax.lax.top_k(-d2, min(k, d2.shape[-1]))
+    else:
+        neg, idx = jax.lax.approx_max_k(-d2, k, recall_target=0.95)
+    return -neg, idx
+
+
+def nearest_group(xyz, new_xyz, features, top_d2, top_idx, radius: float,
+                  nsample: int, use_xyz: bool = True):
+    """Group the ``nsample`` NEAREST in-radius points around each center.
+
+    TPU variant of QueryAndGroup: the reference's CUDA ball query keeps the
+    first nsample in-radius points in index order — an arbitrary choice; the
+    nearest ones are an equally valid (and better conditioned) pick, and
+    sharing one nearest-k across the MSG radii removes a top_k pass per
+    scale. top_d2/top_idx come from nearest_topk with k ≥ nsample.
+    """
+    td2 = top_d2[..., :nsample]
+    idx = top_idx[..., :nsample]
+    valid = td2 < radius * radius  # ascending distances → prefix is valid
+    any_hit = valid[..., 0:1]
+    first = idx[..., 0:1]
+    idx = jnp.where(valid, idx, first)
+    idx = jnp.where(any_hit, idx, 0)
+    b, m, ns = idx.shape
+    flat = idx.reshape(b, m * ns)
+    grouped_xyz = gather_points(xyz, flat).reshape(b, m, ns, 3) - new_xyz[:, :, None, :]
+    if features is None:
+        assert use_xyz
+        return grouped_xyz
+    grouped_feat = _gather_feats_hbm(features, flat).reshape(b, m, ns, -1)
+    if use_xyz:
+        return jnp.concatenate([grouped_xyz, grouped_feat], axis=-1)
+    return grouped_feat
