@@ -37,6 +37,12 @@ def main(argv=None):
     parser.add_argument("--data_path", type=str, default=None)
     parser.add_argument("--output_dir", type=str, default=None)
     parser.add_argument("--save_to_file", action="store_true")
+    parser.add_argument("--eval_all", action="store_true",
+                        help="evaluate every checkpoint in ckpt_dir, polling "
+                             "for new ones (reference test.py repeat_eval_ckpt)")
+    parser.add_argument("--max_waiting_mins", type=int, default=30,
+                        help="with --eval_all: minutes to wait for a new "
+                             "checkpoint before exiting")
     parser.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
     args = parser.parse_args(argv)
 
@@ -69,21 +75,52 @@ def main(argv=None):
     state = create_train_state(model, optimizer, dummy)
 
     manager = make_manager(args.ckpt_dir)
-    restored, epoch = restore_checkpoint(manager, state, args.ckpt_epoch)
-    assert restored is not None, f"no checkpoint found in {args.ckpt_dir}"
-    state = restored
-
     split = cfg.DATA_CONFIG.DATA_SPLIT["test"]
-    result_dir = out_root / "eval" / f"epoch_{epoch}" / split
-    result_dir.mkdir(parents=True, exist_ok=True)
-    logger = create_logger(result_dir / f"log_eval_{datetime.datetime.now():%Y%m%d-%H%M%S}.txt")
-    logger.info(f"evaluating epoch {epoch} on split {split}")
 
-    det_annos, metrics = eval_one_epoch(
-        model, cfg.MODEL, state, eval_loader, eval_set, cfg.CLASS_NAMES,
-        mesh=mesh, result_dir=result_dir, logger=logger, save_to_file=args.save_to_file,
-    )
-    return det_annos, metrics
+    def eval_epoch(state, epoch):
+        result_dir = out_root / "eval" / f"epoch_{epoch}" / split
+        result_dir.mkdir(parents=True, exist_ok=True)
+        logger = create_logger(
+            result_dir / f"log_eval_{datetime.datetime.now():%Y%m%d-%H%M%S}.txt")
+        logger.info(f"evaluating epoch {epoch} on split {split}")
+        return eval_one_epoch(
+            model, cfg.MODEL, state, eval_loader, eval_set, cfg.CLASS_NAMES,
+            mesh=mesh, result_dir=result_dir, logger=logger,
+            save_to_file=args.save_to_file,
+        )
+
+    if not args.eval_all:
+        restored, epoch = restore_checkpoint(manager, state, args.ckpt_epoch)
+        assert restored is not None, f"no checkpoint found in {args.ckpt_dir}"
+        return eval_epoch(restored, epoch)
+
+    # --eval_all: walk every checkpoint, then poll for new ones with a
+    # timeout (reference test.py repeat_eval_ckpt:101-113)
+    import time
+
+    done = set()
+    record = out_root / "eval" / f"eval_list_{split}.txt"
+    record.parent.mkdir(parents=True, exist_ok=True)
+    if record.exists():
+        done = {int(x) for x in record.read_text().split() if x.strip()}
+    last_new = time.time()
+    results = None
+    while True:
+        pending = sorted(set(manager.all_steps()) - done)
+        if not pending:
+            waited = (time.time() - last_new) / 60
+            if waited > args.max_waiting_mins:
+                print(f"no new checkpoint for {waited:.1f} min — exiting")
+                break
+            time.sleep(30)
+            continue
+        epoch = pending[0]
+        restored, epoch = restore_checkpoint(manager, state, epoch)
+        results = eval_epoch(restored, epoch)
+        done.add(epoch)
+        record.write_text("\n".join(str(e) for e in sorted(done)) + "\n")
+        last_new = time.time()
+    return results
 
 
 if __name__ == "__main__":

@@ -91,6 +91,22 @@ def test_train_then_eval_cli(synth_env):
     assert "Dynamic_bev_iou0.7/00-80_R40" in metrics
     assert np.isfinite(metrics["sec_per_example"])
 
+    # --eval_all: evaluates every checkpoint once, records it, then exits
+    # when no new checkpoint appears within max_waiting_mins
+    det_annos2, metrics2 = test_cli.main(
+        [
+            "--cfg_file", str(cfg_file),
+            "--ckpt_dir", str(out_dir / "ckpt"),
+            "--batch_size", "2",
+            "--num_devices", "2",
+            "--output_dir", str(out_dir),
+            "--eval_all", "--max_waiting_mins", "0",
+        ]
+    )
+    assert "Dynamic_bev_iou0.7/00-80_R40" in metrics2
+    record = out_dir / "eval" / "eval_list_val.txt"
+    assert record.exists() and record.read_text().strip()
+
 
 def test_metrics_logger(tmp_path):
     from modest_tpu.train.metrics import MetricsLogger
