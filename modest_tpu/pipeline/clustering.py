@@ -69,6 +69,55 @@ def _knn(xyz, valid, k: int, row_chunk: int = 1024):
     return idxk.reshape(n, k), d2k.reshape(n, k)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "row_chunk", "w"))
+def _knn_windowed(xyz_sorted, valid, k: int, row_chunk: int, w: int,
+                  radius: float):
+    """kNN over x-sorted points with a per-chunk candidate window.
+
+    Each chunk of ``row_chunk`` consecutive (x-sorted) queries only scores
+    the ``w`` candidates starting at searchsorted(x, chunk_min − radius) —
+    w is chosen by the caller to cover [chunk_min − r, chunk_max + r].
+
+    EXACT for the mutual-kNN ∧ radius(r) graph: an edge needs d ≤ r, and
+    every point within r of a query is inside its window; for the mutuality
+    test, if j's true k-th NN lies within r the window holds all k of them
+    (identical k-th distance), and if it lies beyond r then both the
+    windowed and true k-th distances exceed r², so any within-r pair passes
+    the test either way.
+    """
+    n = xyz_sorted.shape[0]
+    xs = xyz_sorted[:, 0]
+    sq = (xyz_sorted * xyz_sorted).sum(-1)
+
+    def chunk_body(start):
+        q = jax.lax.dynamic_slice(xyz_sorted, (start, 0), (row_chunk, 3))
+        q_sq = jax.lax.dynamic_slice(sq, (start,), (row_chunk,))
+        qx0 = q[0, 0]
+        lo = jnp.searchsorted(xs, qx0 - radius).astype(jnp.int32)
+        lo = jnp.clip(lo, 0, n - w)
+        cand = jax.lax.dynamic_slice(xyz_sorted, (lo, 0), (w, 3))
+        c_sq = jax.lax.dynamic_slice(sq, (lo,), (w,))
+        c_val = jax.lax.dynamic_slice(valid, (lo,), (w,))
+        cross = jax.lax.dot_general(
+            q, cand, dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        d2 = jnp.maximum(q_sq[:, None] + c_sq[None, :] - 2.0 * cross, 0.0)
+        cols = lo + jax.lax.broadcasted_iota(jnp.int32, (row_chunk, w), 1)
+        rows = start + jax.lax.broadcasted_iota(jnp.int32, (row_chunk, w), 0)
+        d2 = jnp.where((cols == rows) | ~c_val[None, :], BIG, d2)
+        if jax.default_backend() == "cpu" or k >= w:
+            neg_top, top_idx = jax.lax.top_k(-d2, min(k, w))
+        else:
+            neg_top, top_idx = jax.lax.approx_max_k(-d2, k, recall_target=0.98)
+        return -neg_top, (lo + top_idx).astype(jnp.int32)
+
+    starts = jnp.arange(n // row_chunk) * row_chunk
+    d2k, idxk = jax.lax.map(chunk_body, starts)
+    return idxk.reshape(n, -1), d2k.reshape(n, -1)
+
+
 @functools.partial(jax.jit, static_argnames=("min_samples",))
 def _cluster_from_knn(idx, d2, pp, valid, radius2, eps, min_samples: int):
     n = idx.shape[0]
@@ -128,27 +177,56 @@ def dbscan_pp(xyz: np.ndarray, pp: np.ndarray, *, n_neighbors: int = 70,
     n = xyz.shape[0]
     if n == 0:
         return np.zeros(0, np.int64)
+    # x-sort so the kNN can score only a contiguous candidate window per
+    # query chunk instead of all N points (exactness: see _knn_windowed)
+    order = np.argsort(xyz[:, 0], kind="stable")
+    xyz_s = xyz[order]
+    pp_s = pp[order]
     # pad to power-of-two buckets: each distinct shape costs a full XLA
     # compile (minutes via the remote compile helper), so cap the bucket set
     n_pad = max(row_chunk, 1 << (n - 1).bit_length())
     x = np.zeros((n_pad, 3), np.float32)
-    x[:n] = xyz[:, :3]
+    x[:n] = xyz_s[:, :3]
     # scatter padded rows far away so they never enter any neighborhood
+    # (they also sort to the end of the x-order)
     x[n:] = 1e6
     p = np.zeros(n_pad, np.float32)
-    p[:n] = pp
+    p[:n] = pp_s
     valid = np.zeros(n_pad, bool)
     valid[:n] = True
 
     k = min(n_neighbors, max(n - 1, 1))
-    idx, d2 = _knn(jnp.asarray(x), jnp.asarray(valid), k, row_chunk=row_chunk)
+    # window width: max candidates any chunk can see within ±radius in x,
+    # rounded to a power of two (bounded bucket set)
+    xs = x[:, 0]
+    c_min = xs[0:n_pad:row_chunk]
+    c_max = xs[row_chunk - 1 : n_pad : row_chunk]
+    need = int(np.max(np.searchsorted(xs, c_max + radius, side="right")
+                      - np.searchsorted(xs, c_min - radius, side="left")))
+    w = max(1 << (max(need, k + 1, 512) - 1).bit_length(), row_chunk)
+    if w >= n_pad:
+        idx, d2 = _knn(jnp.asarray(x), jnp.asarray(valid), k, row_chunk=row_chunk)
+    else:
+        idx, d2 = _knn_windowed(jnp.asarray(x), jnp.asarray(valid), k,
+                                row_chunk, w, float(radius))
     raw, _core = _cluster_from_knn(
         idx, d2, jnp.asarray(p), jnp.asarray(valid),
         np.float32(radius * radius), np.float32(eps), min_samples,
     )
-    raw = np.asarray(raw[:n]).astype(np.int64)
+    raw_sorted = np.asarray(raw[:n]).astype(np.int64)
+    # raw labels are min-core indices in SORTED order; map back to original
+    # positions, then re-rank by the minimum ORIGINAL index per component so
+    # cluster ids keep sklearn's first-core ordering
+    raw = np.full(n, -1, np.int64)
+    raw[order] = raw_sorted
 
-    # compact ids in order of first (minimum) core index — sklearn ordering
-    uniq = np.unique(raw[raw >= 0])
-    out = np.where(raw >= 0, np.searchsorted(uniq, raw), -1)
-    return out.astype(np.int64)
+    # compact ids by first occurrence in ORIGINAL index order — sklearn
+    # assigns cluster ids by the first core point it expands
+    mask = raw >= 0
+    out = np.full(n, -1, np.int64)
+    if mask.any():
+        vals, first_pos = np.unique(raw[mask], return_index=True)
+        rank = np.empty(len(vals), np.int64)
+        rank[np.argsort(first_pos, kind="stable")] = np.arange(len(vals))
+        out[mask] = rank[np.searchsorted(vals, raw[mask])]
+    return out

