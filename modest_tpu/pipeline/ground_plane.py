@@ -49,15 +49,23 @@ def _ransac_plane(xy: np.ndarray, z: np.ndarray, n_trials: int, threshold: float
     if ok.any():
         coef[ok] = np.linalg.solve(P[ok], Z[ok][:, :, None])[:, :, 0]
 
-    A = np.concatenate([xy, np.ones((n, 1))], axis=1)  # (N, 3)
-    res = np.abs(A @ coef.T - z[:, None])  # (N, T)
+    # f32 is plenty for a cm-scale residual test and halves the (N, T) sweep
+    A = np.concatenate([xy, np.ones((n, 1))], axis=1).astype(np.float32)  # (N, 3)
+    res = np.abs(A @ coef.T.astype(np.float32) - z[:, None].astype(np.float32))
     inliers = (res <= threshold).sum(axis=0)
     inliers[~ok] = -1
     best = int(np.argmax(inliers))
 
     in_mask = res[:, best] <= threshold
     if in_mask.sum() >= 3:
-        coef_best, *_ = np.linalg.lstsq(A[in_mask], z[in_mask], rcond=None)
+        # normal equations: the 3x3 solve replaces an SVD lstsq over ~50k
+        # rows (identical solution for this well-conditioned full-rank fit)
+        Ai = A[in_mask].astype(np.float64)
+        zi = z[in_mask].astype(np.float64)
+        try:
+            coef_best = np.linalg.solve(Ai.T @ Ai, Ai.T @ zi)
+        except np.linalg.LinAlgError:
+            coef_best, *_ = np.linalg.lstsq(Ai, zi, rcond=None)
     else:
         coef_best = coef[best]
     return coef_best
