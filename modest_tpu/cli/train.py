@@ -50,6 +50,9 @@ def parse_config(argv=None):
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--extra_tag", type=str, default="default")
     parser.add_argument("--ckpt", type=str, default=None)
+    parser.add_argument("--pretrained_model", type=str, default=None,
+                        help="ckpt dir for a shape-checked partial transfer "
+                             "load (reference --pretrained_model)")
     parser.add_argument("--fix_random_seed", action="store_true")
     parser.add_argument("--ckpt_save_interval", type=int, default=1)
     parser.add_argument("--max_ckpt_save_num", type=int, default=30)
@@ -118,6 +121,13 @@ def main(argv=None):
         state = restored
         start_epoch = last_epoch
         logger.info(f"resumed from epoch {last_epoch}")
+    elif args.pretrained_model is not None:
+        from ..train.checkpoint import load_params_partial
+
+        state, n_loaded, n_skipped = load_params_partial(
+            state, args.pretrained_model, logger=logger)
+        logger.info(f"pretrained transfer: {n_loaded} tensors loaded, "
+                    f"{n_skipped} kept at init")
 
     state = train_model(
         model, cfg.MODEL, optimizer, state, train_loader,

@@ -49,3 +49,46 @@ def shard_indices_for_process(n_items: int, process_id: int | None = None,
     pid = jax.process_index() if process_id is None else process_id
     nproc = jax.process_count() if num_processes is None else num_processes
     return list(range(pid, n_items, nproc))
+
+
+def merge_results_dist(part_results: list, tmpdir, part_id: int | None = None,
+                       num_parts: int | None = None):
+    """Merge per-process eval results through a shared filesystem
+    (reference common_utils.merge_results_dist:194-216).
+
+    Every process dumps ``result_part_{pid}.pkl`` into ``tmpdir``; process 0
+    waits for all parts, concatenates them in interleaved-shard order (the
+    inverse of shard_indices_for_process) and returns the full list; other
+    processes return None.
+    """
+    import pickle
+    import time
+    from pathlib import Path
+
+    import jax
+
+    pid = jax.process_index() if part_id is None else part_id
+    nproc = jax.process_count() if num_parts is None else num_parts
+    tmpdir = Path(tmpdir)
+    tmpdir.mkdir(parents=True, exist_ok=True)
+    with open(tmpdir / f"result_part_{pid}.pkl", "wb") as f:
+        pickle.dump(part_results, f)
+    if pid != 0:
+        return None
+    parts = []
+    for i in range(nproc):
+        path = tmpdir / f"result_part_{i}.pkl"
+        deadline = time.time() + 600
+        while not path.exists():
+            if time.time() > deadline:
+                raise TimeoutError(f"missing eval part {path}")
+            time.sleep(2)
+        with open(path, "rb") as f:
+            parts.append(pickle.load(f))
+    # inverse interleave: item j of part i was global index i + j*nproc
+    total = sum(len(p) for p in parts)
+    merged = [None] * total
+    for i, p in enumerate(parts):
+        for j, r in enumerate(p):
+            merged[i + j * nproc] = r
+    return merged

@@ -130,3 +130,58 @@ def test_plot_bev(tmp_path, rng):
     out = tmp_path / "bev.png"
     plot_bev(pts, boxes=boxes, point_color=pts[:, 2], save_path=out)
     assert out.exists() and out.stat().st_size > 1000
+
+
+def test_merge_results_dist(tmp_path):
+    from modest_tpu.parallel.multihost import merge_results_dist, shard_indices_for_process
+
+    items = [{"frame_id": i} for i in range(11)]
+    nproc = 3
+    shards = [[items[j] for j in shard_indices_for_process(11, i, nproc)]
+              for i in range(nproc)]
+    for i in range(1, nproc):
+        assert merge_results_dist(shards[i], tmp_path, part_id=i, num_parts=nproc) is None
+    merged = merge_results_dist(shards[0], tmp_path, part_id=0, num_parts=nproc)
+    assert [r["frame_id"] for r in merged] == list(range(11))
+
+
+def test_load_params_partial(tmp_path):
+    """Transfer load copies path+shape matching params, keeps the rest."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from flax.training import train_state as ts
+
+    from modest_tpu.train.checkpoint import load_params_partial, make_manager, save_checkpoint
+
+    class A(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(4, name="d1")(nn.relu(nn.Dense(8, name="d0")(x)))
+
+    class B(nn.Module):  # d0 matches, d1 reshaped, d2 new
+        @nn.compact
+        def __call__(self, x):
+            x = nn.relu(nn.Dense(8, name="d0")(x))
+            x = nn.relu(nn.Dense(6, name="d1")(x))
+            return nn.Dense(2, name="d2")(x)
+
+    x = jnp.ones((1, 3))
+    pa = A().init(jax.random.PRNGKey(0), x)["params"]
+    sa = ts.TrainState.create(apply_fn=A().apply, params=pa, tx=optax.sgd(0.1))
+    mgr = make_manager(tmp_path / "ckpt")
+    save_checkpoint(mgr, sa, 1)
+    mgr.wait_until_finished()
+
+    pb = B().init(jax.random.PRNGKey(1), x)["params"]
+    sb = ts.TrainState.create(apply_fn=B().apply, params=pb, tx=optax.sgd(0.1))
+    loaded, n_loaded, n_skipped = load_params_partial(sb, tmp_path / "ckpt")
+    assert n_loaded == 2  # d0 kernel + bias transfer
+    assert n_skipped == 4  # d1 reshaped (2) + d2 new (2)
+    np.testing.assert_array_equal(np.asarray(loaded.params["d0"]["kernel"]),
+                                  np.asarray(pa["d0"]["kernel"]))
+    # reshaped / new layers keep B's fresh init
+    np.testing.assert_array_equal(np.asarray(loaded.params["d1"]["kernel"]),
+                                  np.asarray(pb["d1"]["kernel"]))
