@@ -21,6 +21,72 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _fps_kernel3d(xt_ref, out_ref, dists_ref, *, unroll: int):
+    """3-D layout variant: points live as (B, 8, W) with W = N/8 so every
+    f32 vreg uses all 8 sublanes (the 2-D (B, N) layout fills only B of
+    them). argmax becomes a max-reduce plus a masked min over the flat
+    index iota — both full-array vector ops; tie → lowest flat index, which
+    is the original index order (row-major split), matching the CUDA
+    kernel's first-max semantics (sampling_gpu.cu)."""
+    b, _, s, w = xt_ref.shape
+    npoint = out_ref.shape[2]
+
+    x = xt_ref[:, 0]
+    y = xt_ref[:, 1]
+    z = xt_ref[:, 2]  # (B, 8, W)
+
+    dists_ref[:] = jnp.full((b, s, w), 1e10, jnp.float32)
+    out_ref[:] = jnp.zeros((b, 1, npoint), jnp.int32)
+
+    flat = (
+        jax.lax.broadcasted_iota(jnp.int32, (b, s, w), 1) * w
+        + jax.lax.broadcasted_iota(jnp.int32, (b, s, w), 2)
+    )
+    slot = jax.lax.broadcasted_iota(jnp.int32, (b, 1, npoint), 2)
+
+    def _reduce(op, v):
+        # (B, 8, W) → (B, 8, 1), replicated across sublanes. Mosaic cannot
+        # broadcast sublanes+lanes in one op, so reduce lane axis, reduce the
+        # sublane axis, and re-broadcast sublanes — downstream arithmetic
+        # then only lane-broadcasts.
+        r = op(op(v, axis=2, keepdims=True), axis=1, keepdims=True)
+        return jnp.broadcast_to(r, (v.shape[0], v.shape[1], 1))
+
+    def body(i, carry):
+        lx, ly, lz = carry  # (B, 8, 1) coords of the previously selected point
+        d = (x - lx) ** 2 + (y - ly) ** 2 + (z - lz) ** 2
+        dists = jnp.minimum(dists_ref[:], d)
+        dists_ref[:] = dists
+        m = _reduce(jnp.max, dists)  # (B, 8, 1)
+        idx = _reduce(jnp.min, jnp.where(dists == m, flat, jnp.int32(2**30)))
+        out_ref[:] = jnp.where(slot == i, idx[:, 0:1], out_ref[:])
+        sel = flat == idx
+        nx = _reduce(jnp.sum, jnp.where(sel, x, 0.0))
+        ny = _reduce(jnp.sum, jnp.where(sel, y, 0.0))
+        nz = _reduce(jnp.sum, jnp.where(sel, z, 0.0))
+        return (nx, ny, nz)
+
+    first = lambda v: jnp.broadcast_to(v[:, 0:1, 0:1], (b, s, 1))
+    init = (first(x), first(y), first(z))
+    # Mosaic's fori_loop lowering only supports unroll=1/full; unroll by hand
+    # (chunks of `unroll` bodies per step) to amortize loop overhead. A
+    # single-trip chunk loop crashes the Mosaic compiler, so tiny npoint
+    # runs the plain loop.
+    if (npoint - 1) // unroll < 2:
+        jax.lax.fori_loop(1, npoint, body, init)
+        return
+    n_main = ((npoint - 1) // unroll) * unroll
+
+    def chunk(c, carry):
+        i0 = 1 + c * unroll
+        for k in range(unroll):
+            carry = body(i0 + k, carry)
+        return carry
+
+    carry = jax.lax.fori_loop(0, n_main // unroll, chunk, init)
+    jax.lax.fori_loop(1 + n_main, npoint, body, carry)
+
+
 def _fps_kernel(xt_ref, out_ref, dists_ref):
     b, _, n = xt_ref.shape
     npoint = out_ref.shape[1]
@@ -55,6 +121,19 @@ def _fps_kernel(xt_ref, out_ref, dists_ref):
 def furthest_point_sample_pallas(xyz, npoint: int, interpret: bool = False):
     """(B, N, 3) → (B, npoint) int32, single kernel launch."""
     b, n, _ = xyz.shape
+    if n % 1024 == 0:
+        # full-sublane layout: (B, 3, 8, N/8); row-major flat index == original
+        xt = jnp.transpose(xyz, (0, 2, 1)).astype(jnp.float32)
+        xt = xt.reshape(b, 3, 8, n // 8)
+        out = pl.pallas_call(
+            functools.partial(_fps_kernel3d, unroll=4),
+            out_shape=jax.ShapeDtypeStruct((b, 1, npoint), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((b, 8, n // 8), jnp.float32)],
+            interpret=interpret,
+        )(xt)
+        return out[:, 0]
     xt = jnp.transpose(xyz, (0, 2, 1)).astype(jnp.float32)  # (B, 3, N)
     return pl.pallas_call(
         _fps_kernel,

@@ -123,3 +123,14 @@ def test_pallas_fps_matches_xla(rng):
     want = np.asarray(_furthest_point_sample_xla(x, 64))
     got = np.asarray(furthest_point_sample_pallas(x, 64, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_fps3d_matches_xla(rng):
+    """Full-sublane (B, 8, N/8) kernel variant (N % 1024 == 0 path)."""
+    from modest_tpu.ops.pallas_fps import furthest_point_sample_pallas
+    from modest_tpu.ops.pointnet2 import _furthest_point_sample_xla
+
+    x = jnp.asarray(rng.randn(2, 1024, 3).astype(np.float32) * 10)
+    want = np.asarray(_furthest_point_sample_xla(x, 130))  # not a multiple of unroll
+    got = np.asarray(furthest_point_sample_pallas(x, 130, interpret=True))
+    np.testing.assert_array_equal(got, want)
