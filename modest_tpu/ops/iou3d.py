@@ -22,15 +22,16 @@ MAXV = 8  # max vertices of a quad∩quad intersection
 
 
 def _bev_corners_many(boxes):
-    """(N, 7) boxes → (4 corners, 2, N) lane-major CCW corners (elementwise)."""
-    cx, cy, dx, dy, ang = boxes[:, 0], boxes[:, 1], boxes[:, 3], boxes[:, 4], boxes[:, 6]
+    """(..., 7) boxes → list of 4 ((...), (...)) CCW corner tuples (elementwise)."""
+    cx, cy, dx, dy, ang = (boxes[..., 0], boxes[..., 1], boxes[..., 3],
+                           boxes[..., 4], boxes[..., 6])
     c, s = jnp.cos(ang), jnp.sin(ang)
     out = []
     for lx_s, ly_s in ((-0.5, -0.5), (0.5, -0.5), (0.5, 0.5), (-0.5, 0.5)):
         lx = lx_s * dx
         ly = ly_s * dy
         out.append((lx * c - ly * s + cx, lx * s + ly * c + cy))
-    return out  # list of 4 (x (N,), y (N,)) tuples
+    return out  # list of 4 (x (...), y (...)) tuples
 
 
 def _overlap_one_to_many(box, boxes):
@@ -41,14 +42,25 @@ def _overlap_one_to_many(box, boxes):
     ((MAXV,) python lists of (N,) arrays); every slot operation is a static
     unroll, every lane operation is fused elementwise VPU work.
     """
-    n = boxes.shape[0]
     ca = _bev_corners_many(box[None])  # corners of the clip box, scalars
     a = [(x[0], y[0]) for (x, y) in ca]
     cb = _bev_corners_many(boxes)
+    return _overlap_sh(a, cb, boxes.shape[:-1])
 
-    px = [cb[k][0] for k in range(4)] + [jnp.zeros(n)] * (MAXV - 4)
-    py = [cb[k][1] for k in range(4)] + [jnp.zeros(n)] * (MAXV - 4)
-    valid = [jnp.ones(n, bool)] * 4 + [jnp.zeros(n, bool)] * (MAXV - 4)
+
+def _overlap_sh(a, cb, shape):
+    """Sutherland–Hodgman clip of subject quads `cb` against clip quads `a`.
+
+    `a`, `cb`: lists of 4 (x, y) corner tuples whose arrays broadcast to
+    `shape` — scalars for one clip box, (N, 1) vs (1, M) for a full pairwise
+    matrix (every op is then one fused elementwise 2-D program; the old
+    vmap-of-rows formulation issued the ~640-op clip chain once per row and
+    was op-latency-bound).
+    """
+    zeros = jnp.zeros(shape)
+    px = [jnp.broadcast_to(cb[k][0], shape) for k in range(4)] + [zeros] * (MAXV - 4)
+    py = [jnp.broadcast_to(cb[k][1], shape) for k in range(4)] + [zeros] * (MAXV - 4)
+    valid = ([jnp.ones(shape, bool)] * 4 + [jnp.zeros(shape, bool)] * (MAXV - 4))
 
     for e in range(4):
         a0x, a0y = a[e]
@@ -87,15 +99,15 @@ def _overlap_one_to_many(box, boxes):
 
         # compaction: running count over the 16 candidate slots (static unroll)
         csum = []
-        run = jnp.zeros(n, jnp.int32)
+        run = jnp.zeros(shape, jnp.int32)
         for j in range(2 * MAXV):
             run = run + keep[j].astype(jnp.int32)
             csum.append(run)
         new_px, new_py, new_valid = [], [], []
         for k in range(MAXV):
-            accx = jnp.zeros(n)
-            accy = jnp.zeros(n)
-            hit = jnp.zeros(n, bool)
+            accx = zeros
+            accy = zeros
+            hit = jnp.zeros(shape, bool)
             for j in range(2 * MAXV):
                 sel = keep[j] & (csum[j] == k + 1)
                 accx = jnp.where(sel, cand_x[j], accx)
@@ -107,7 +119,7 @@ def _overlap_one_to_many(box, boxes):
         px, py, valid = new_px, new_py, new_valid
 
     # shoelace over compact polygon (per-lane wrap to slot 0)
-    area = jnp.zeros(n)
+    area = zeros
     for j in range(MAXV):
         if j + 1 < MAXV:
             nx_ = jnp.where(valid[j + 1], px[j + 1], px[0])
@@ -121,8 +133,10 @@ def _overlap_one_to_many(box, boxes):
 
 @jax.jit
 def boxes_overlap_bev(boxes_a, boxes_b):
-    """(N, 7), (M, 7) → (N, M) BEV intersection areas."""
-    return jax.vmap(lambda a: _overlap_one_to_many(a, boxes_b))(boxes_a)
+    """(N, 7), (M, 7) → (N, M) BEV intersection areas (one fused 2-D program)."""
+    ca = _bev_corners_many(boxes_a[:, None, :])  # (N, 1) corner arrays
+    cb = _bev_corners_many(boxes_b[None, :, :])  # (1, M)
+    return _overlap_sh(ca, cb, (boxes_a.shape[0], boxes_b.shape[0]))
 
 
 @jax.jit
@@ -179,6 +193,36 @@ def nms_bev(boxes, scores, thresh, max_keep: int, valid_mask=None):
     """
     neg_inf = jnp.array(-jnp.inf, dtype=scores.dtype)
     alive = jnp.where(valid_mask, scores, neg_inf) if valid_mask is not None else scores
+    n = boxes.shape[0]
+
+    if n <= 1024:
+        # small-N: precompute the full IoU matrix as ONE fused 2-D clip
+        # program, then each greedy round is ~7 tiny ops (a row gather +
+        # compares) instead of re-running the ~640-op clip chain — the
+        # per-round clip is op-issue-bound, not lane-bound, so at small N
+        # it costs the same as at N=9216. Row values are bit-identical
+        # (clip box = row = the kept box, same orientation as the scan).
+        iou_mat = boxes_iou_bev(boxes, boxes)
+
+        def body_m(alive, _):
+            idx = jnp.argmax(alive)
+            ok = alive[idx] > neg_inf
+            suppress = iou_mat[idx] > thresh
+            suppress = suppress.at[idx].set(True)
+            new_alive = jnp.where(ok & suppress, neg_inf, alive)
+            return new_alive, (idx.astype(jnp.int32), ok)
+
+        _, (keep_idx, keep_mask) = jax.lax.scan(body_m, alive, None, length=max_keep)
+        return keep_idx, keep_mask
+
+    return _nms_blocked(boxes, alive, thresh, max_keep)
+
+
+@partial(jax.jit, static_argnames=("max_keep",))
+def _nms_scan_reference(boxes, alive, thresh, max_keep: int):
+    """Row-at-a-time greedy scan (the original formulation) — kept as the
+    semantics oracle for _nms_blocked equality tests."""
+    neg_inf = jnp.array(-jnp.inf, dtype=alive.dtype)
 
     def body(alive, _):
         idx = jnp.argmax(alive)
@@ -191,6 +235,86 @@ def nms_bev(boxes, scores, thresh, max_keep: int, valid_mask=None):
 
     _, (keep_idx, keep_mask) = jax.lax.scan(body, alive, None, length=max_keep)
     return keep_idx, keep_mask
+
+
+def _iou_rows_vs(boxes_clip, boxes_subj):
+    """(K, 7) clip, (T, 7) subject → (K, T) IoU; clip box per ROW (the same
+    orientation as the greedy scan's suppression row, so values are
+    bit-identical to _iou_bev_one_to_many(clip[i], subj))."""
+    ca = _bev_corners_many(boxes_clip[:, None, :])
+    cb = _bev_corners_many(boxes_subj[None, :, :])
+    overlap = _overlap_sh(ca, cb, (boxes_clip.shape[0], boxes_subj.shape[0]))
+    sa = (boxes_clip[:, 3] * boxes_clip[:, 4])[:, None]
+    sb = (boxes_subj[:, 3] * boxes_subj[:, 4])[None, :]
+    return overlap / jnp.maximum(sa + sb - overlap, EPS)
+
+
+@partial(jax.jit, static_argnames=("max_keep", "block"))
+def _nms_blocked(boxes, scores, thresh, max_keep: int, block: int = 512):
+    """Exact greedy NMS for large N: process candidates in score order in
+    blocks. Per block, ONE fused (K, T) IoU matrix vs the kept set and ONE
+    (T, T) in-block matrix replace T sequential ~640-op clip rows; the
+    in-block greedy recurrence runs on (T,) vectors. A while_loop stops as
+    soon as the keep list fills or candidates run out (greedy keep decisions
+    only depend on higher-scored boxes, so early exit is exact).
+    """
+    n = boxes.shape[0]
+    nb = -(-n // block)
+    pad = nb * block - n
+    # kept-box buffer padded to >= block rows: XLA compiles the while body
+    # ~4x slower when the (max_keep, block) kept-IoU matrix has a small
+    # leading dim (layout pathology observed on v5e); the padding rows are
+    # never written (cnt < max_keep gate) and cost one extra fused matrix row
+    kbuf = max(max_keep, block)
+    neg_inf = jnp.array(-jnp.inf, jnp.float32)
+    order = jax.lax.top_k(scores, n)[1]  # stable: ties by original index
+    sboxes = jnp.concatenate([boxes[order], jnp.zeros((pad, 7), boxes.dtype)], 0)
+    sscores = jnp.concatenate([scores[order].astype(jnp.float32),
+                               jnp.full((pad,), -jnp.inf, jnp.float32)], 0)
+
+    def cond(state):
+        f, kept_boxes, kcnt, keep_flags = state
+        has_cand = sscores[f * block] > neg_inf  # sorted: block head is max
+        return (f < nb) & (kcnt < max_keep) & has_cand
+
+    def body(state):
+        f, kept_boxes, kcnt, keep_flags = state
+        cand = jax.lax.dynamic_slice(sboxes, (f * block, 0), (block, 7))
+        cscore = jax.lax.dynamic_slice(sscores, (f * block,), (block,))
+        valid = cscore > neg_inf
+        # suppressed by a kept box from an earlier block?
+        iou_k = _iou_rows_vs(kept_boxes, cand)  # (kbuf, block)
+        krow = jnp.arange(kbuf)[:, None] < kcnt
+        sup0 = ((iou_k > thresh) & krow).any(axis=0)
+        iou_in = _iou_rows_vs(cand, cand)  # (block, block)
+
+        def t_body(carry, t):
+            sup, cnt = carry
+            ok = valid[t] & ~sup[t] & (cnt < max_keep)
+            sup = sup | (ok & (iou_in[t] > thresh))
+            return (sup, cnt + ok.astype(cnt.dtype)), ok
+
+        (_, kcnt_after), kflags = jax.lax.scan(
+            t_body, (sup0, kcnt), jnp.arange(block))
+        # append kept candidates to the kept-box buffer (score order)
+        pos = kcnt + jnp.cumsum(kflags.astype(jnp.int32)) - 1
+        pos = jnp.where(kflags, pos, kbuf)  # OOB → dropped by scatter
+        kept_boxes = kept_boxes.at[pos].set(cand, mode="drop")
+        keep_flags = jax.lax.dynamic_update_slice(keep_flags, kflags, (f * block,))
+        return (f + 1, kept_boxes, kcnt_after, keep_flags)
+
+    state = (jnp.int32(0), jnp.zeros((kbuf, 7), boxes.dtype), jnp.int32(0),
+             jnp.zeros((nb * block,), bool))
+    _, _, kcnt, keep_flags = jax.lax.while_loop(cond, body, state)
+
+    # first max_keep kept sorted-positions, in score order
+    rank = jnp.cumsum(keep_flags.astype(jnp.int32)) - 1
+    slot = jnp.where(keep_flags, rank, max_keep)
+    out_pos = jnp.zeros((max_keep,), jnp.int32).at[slot].set(
+        jnp.arange(nb * block, dtype=jnp.int32), mode="drop")
+    keep_mask = jnp.arange(max_keep) < kcnt
+    keep_idx = order[jnp.minimum(out_pos, n - 1)]
+    return keep_idx.astype(jnp.int32), keep_mask
 
 
 def class_agnostic_nms(box_scores, box_preds, nms_thresh, score_thresh=None,

@@ -135,6 +135,33 @@ def test_nms_matches_greedy_oracle(rng):
     assert got == want
 
 
+def test_nms_blocked_matches_scan_reference(rng):
+    """Large-N blocked NMS (while_loop over sorted blocks) == row-scan greedy,
+    including heavy-suppression (keeps don't fill) and padding (-inf) cases."""
+    for n, keep, thresh, dense in [(1200, 300, 0.5, False), (1500, 100, 0.3, True)]:
+        if dense:  # near-duplicate clusters stress suppression
+            base = np.stack(
+                [box(rng.uniform(-10, 10), rng.uniform(-10, 10), 0,
+                     rng.uniform(2, 5), rng.uniform(1, 3), 2, rng.uniform(-3, 3))
+                 for _ in range(30)]
+            ).astype(np.float32)
+            boxes = base[rng.randint(0, 30, n)] + rng.randn(n, 7).astype(np.float32) * 0.05
+            boxes[:, 3:6] = np.abs(boxes[:, 3:6]) + 0.5
+        else:
+            boxes = np.stack(
+                [box(rng.uniform(-40, 40), rng.uniform(-40, 40), 0,
+                     rng.uniform(2, 5), rng.uniform(1, 3), 2, rng.uniform(-3, 3))
+                 for _ in range(n)]
+            ).astype(np.float32)
+        scores = rng.rand(n).astype(np.float32)
+        scores[-50:] = -np.inf  # padding rows
+        ki1, km1 = iou3d._nms_blocked(jnp.array(boxes), jnp.array(scores), thresh, keep)
+        ki2, km2 = iou3d._nms_scan_reference(jnp.array(boxes), jnp.array(scores), thresh, keep)
+        km1, km2 = np.asarray(km1), np.asarray(km2)
+        np.testing.assert_array_equal(km1, km2)
+        np.testing.assert_array_equal(np.asarray(ki1)[km1], np.asarray(ki2)[km2])
+
+
 def test_nms_respects_padding():
     boxes = np.zeros((8, 7), np.float32)
     boxes[:, 3:6] = 1
