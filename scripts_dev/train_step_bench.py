@@ -1,0 +1,56 @@
+"""Dev: time the full train step (fwd+bwd+adam) on the real chip."""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from modest_tpu.utils.jax_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+from modest_tpu.models.pointrcnn import PointRCNN
+from modest_tpu.train.optim import build_optimizer
+from modest_tpu.train.state import TrainState, create_train_state, make_train_step
+from modest_tpu.utils.config import cfg_from_yaml_file
+
+BATCH = 4
+cfg = cfg_from_yaml_file("configs/models/lyft_models/pointrcnn_dynamic_obj.yaml")
+model = PointRCNN(model_cfg=cfg.MODEL, num_class=len(cfg.CLASS_NAMES))
+
+rng = np.random.RandomState(0)
+n = 12288
+points = rng.uniform(0, 1, (BATCH, n, 4)).astype(np.float32)
+points[..., 0] *= 80
+points[..., 1] = (points[..., 1] - 0.5) * 80
+points[..., 2] = (points[..., 2] - 0.5) * 3 - 0.5
+gt = np.zeros((BATCH, 16, 8), np.float32)
+for b in range(BATCH):
+    for k in range(10):
+        c = rng.uniform([5, -30, -1.6], [70, 30, -1.4])
+        sl = slice(k * 300, (k + 1) * 300)
+        points[b, sl, :3] = c + rng.uniform(-1, 1, (300, 3)) * [2, 0.9, 0.7]
+        gt[b, k, :7] = [c[0], c[1], c[2], 4, 2, 1.6, 0.3]
+        gt[b, k, 7] = 1
+
+import optax
+
+tx = optax.adam(1e-3)
+state = create_train_state(model, tx, {"points": points, "gt_boxes": gt})
+step = make_train_step(model, cfg.MODEL, tx)
+
+pts = jnp.asarray(points)
+gtj = jnp.asarray(gt)
+key = jax.random.PRNGKey(7)
+state, metrics = step(state, pts, gtj, key)
+print("loss:", float(metrics["loss"]), flush=True)
+
+ITERS = 10
+t0 = time.perf_counter()
+for i in range(ITERS):
+    state, metrics = step(state, pts, gtj, key)
+    if (i + 1) % 5 == 0:
+        float(metrics["loss"])
+float(metrics["loss"])
+dt = (time.perf_counter() - t0) / ITERS
+print(f"train step: {dt*1e3:.1f} ms/batch -> {BATCH/dt:.1f} scans/s/chip", flush=True)
