@@ -79,9 +79,16 @@ class DataLoader:
 def build_dataloader(dataset_cfg, class_names, batch_size, root_path=None, training=True,
                      logger=None, total_epochs=1, merge_all_iters_to_one_epoch=False,
                      max_gt: int = MAX_GT_DEFAULT, seed: int = 0):
-    from .kitti_dataset import KittiDataset
+    name = dataset_cfg.get("DATASET", "KittiDataset") \
+        if hasattr(dataset_cfg, "get") else "KittiDataset"
+    if name == "NuScenesDataset":
+        from .nuscenes_dataset import NuScenesDataset as cls_
+    elif name == "WaymoDataset":
+        from .waymo_dataset import WaymoDataset as cls_
+    else:
+        from .kitti_dataset import KittiDataset as cls_
 
-    dataset = KittiDataset(
+    dataset = cls_(
         dataset_cfg=dataset_cfg, class_names=class_names, training=training,
         root_path=root_path, logger=logger,
     )

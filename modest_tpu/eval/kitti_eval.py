@@ -510,3 +510,86 @@ def get_range_eval_result(gt_annos, dt_annos, current_classes, ranges=(0, 30, 50
             result += "BEV:  " + ", ".join(f"{x:6.3f}" for x in bev) + "\n"
             result += "3D :  " + ", ".join(f"{x:6.3f}" for x in d3) + "\n"
     return result, ret_dict
+
+
+# ---------------------------------------------------------------------------
+# lidar-frame AP (SDK-free fallback for the nuScenes / Waymo drivers)
+# ---------------------------------------------------------------------------
+
+
+def _lidar_bev_iou_np(boxes_a, boxes_b):
+    """(N, 7) x (K, 7) lidar boxes → rotated BEV IoU (numpy in/out)."""
+    import jax.numpy as jnp
+
+    from ..ops.iou3d import boxes_iou_bev
+
+    if boxes_a.shape[0] == 0 or boxes_b.shape[0] == 0:
+        return np.zeros((boxes_a.shape[0], boxes_b.shape[0]))
+    return np.asarray(
+        boxes_iou_bev(jnp.asarray(boxes_a, jnp.float32),
+                      jnp.asarray(boxes_b, jnp.float32)), np.float64)
+
+
+def ap_from_lidar_annos(gt_annos, dt_annos, class_names,
+                        iou_thresholds=(0.7, 0.5)):
+    """R40 AP per class over lidar-frame annos {name, boxes_lidar[, score]}.
+
+    A self-contained evaluator for datasets whose official metric needs an
+    SDK that may be absent (nuScenes NDS, Waymo LET): greedy score-ordered
+    matching at rotated BEV IoU, the same matching rule the KITTI harness
+    uses, reported as R40 AP per class and threshold.
+    """
+    assert len(gt_annos) == len(dt_annos)
+    results = {}
+    lines = []
+    for cls in class_names:
+        # gather per-frame class subsets
+        gts = [np.asarray(g["boxes_lidar"])[np.asarray(g["name"]) == cls]
+               if len(g["name"]) else np.zeros((0, 7)) for g in gt_annos]
+        dts, scores, frame_ids = [], [], []
+        for fi, d in enumerate(dt_annos):
+            m = np.asarray(d["name"]) == cls if len(d["name"]) else np.zeros(0, bool)
+            dts.append(np.asarray(d["boxes_lidar"])[m])
+            scores.append(np.asarray(d["score"])[m])
+            frame_ids.append(np.full(int(m.sum()), fi))
+        num_gt = int(sum(len(g) for g in gts))
+        all_scores = np.concatenate(scores) if scores else np.zeros(0)
+        order = np.argsort(-all_scores, kind="stable")
+        all_boxes = np.concatenate(dts) if dts else np.zeros((0, 7))
+        all_frames = np.concatenate(frame_ids).astype(int) if frame_ids else np.zeros(0, int)
+        ious = {fi: _lidar_bev_iou_np(dts[fi], gts[fi])
+                for fi in range(len(gt_annos)) if len(dts[fi])}
+        # per-frame local det index
+        local_idx = np.concatenate(
+            [np.arange(len(d)) for d in dts]) if dts else np.zeros(0, int)
+        for thr in iou_thresholds:
+            matched = [np.zeros(len(g), bool) for g in gts]
+            tp = np.zeros(len(order))
+            fp = np.zeros(len(order))
+            for rank, di in enumerate(order):
+                fi = all_frames[di]
+                li = local_idx[di]
+                iou_row = ious.get(fi)
+                if iou_row is None or iou_row.shape[1] == 0:
+                    fp[rank] = 1
+                    continue
+                j = int(np.argmax(np.where(matched[fi], -1.0, iou_row[li])))
+                if iou_row[li, j] >= thr and not matched[fi][j]:
+                    matched[fi][j] = True
+                    tp[rank] = 1
+                else:
+                    fp[rank] = 1
+            if num_gt == 0:
+                ap = 0.0
+            else:
+                cum_tp = np.cumsum(tp)
+                cum_fp = np.cumsum(fp)
+                recall = cum_tp / num_gt
+                precision = cum_tp / np.maximum(cum_tp + cum_fp, 1)
+                ap = 0.0
+                for r in np.linspace(1 / 40, 1.0, 40):  # R40 sampling
+                    p = precision[recall >= r]
+                    ap += (p.max() if len(p) else 0.0) / 40
+            results[f"{cls}_bev_iou{thr}_R40"] = float(ap * 100)
+            lines.append(f"{cls} BEV AP@{thr} (R40): {ap * 100:6.2f}")
+    return "\n".join(lines) + "\n", results

@@ -13,7 +13,9 @@ def build_network(model_cfg, num_class: int, dataset):
         return GridDetector(model_cfg=model_cfg, num_class=num_class,
                             point_cloud_range=dataset.point_cloud_range,
                             voxel_size=dataset.voxel_size,
-                            grid_size=dataset.grid_size)
+                            grid_size=dataset.grid_size,
+                            class_names=tuple(getattr(dataset, "class_names",
+                                                      ()) or ()) or None)
     if name == "PVRCNN":
         from .pv_rcnn import PVRCNN
 

@@ -27,7 +27,15 @@ class ResidualCoder:
             rts = [jnp.cos(rg) - jnp.cos(ra), jnp.sin(rg) - jnp.sin(ra)]
         else:
             rts = [rg - ra]
-        return jnp.concatenate([xt, yt, zt, dxt, dyt, dzt, *rts], axis=-1)
+        # extra channels (e.g. nuScenes velocity): identity residuals
+        # (reference box_coder_utils.py:42)
+        extra = []
+        if boxes.shape[-1] > 7:
+            n_extra = boxes.shape[-1] - 7
+            a_extra = (anchors[..., 7:7 + n_extra]
+                       if anchors.shape[-1] > 7 else jnp.zeros_like(boxes[..., 7:]))
+            extra = [boxes[..., 7:] - a_extra]
+        return jnp.concatenate([xt, yt, zt, dxt, dyt, dzt, *rts, *extra], axis=-1)
 
     def decode(self, encodings, anchors):
         xa, ya, za, dxa, dya, dza, ra = jnp.split(anchors[..., :7], 7, axis=-1)
@@ -48,7 +56,15 @@ class ResidualCoder:
             rg = jnp.arctan2(sint + jnp.sin(ra), cost + jnp.cos(ra))
         else:
             rg = rt + ra
-        return jnp.concatenate([xg, yg, zg, dxg, dyg, dzg, rg], axis=-1)
+        out = [xg, yg, zg, dxg, dyg, dzg, rg]
+        n7 = 8 if self.encode_angle_by_sincos else 7
+        if encodings.shape[-1] > n7:  # extra channels decode additively
+            n_extra = encodings.shape[-1] - n7
+            a_extra = (anchors[..., 7:7 + n_extra]
+                       if anchors.shape[-1] > 7
+                       else jnp.zeros_like(encodings[..., n7:]))
+            out.append(encodings[..., n7:] + a_extra)
+        return jnp.concatenate(out, axis=-1)
 
 
 class PointResidualCoder:

@@ -148,32 +148,46 @@ class PillarFeatureNet(nn.Module):
 
     @nn.compact
     def __call__(self, points, train: bool = False):
-        """points (N, 4) one sample → (ny, nx, C) BEV features."""
+        """points (B, N, 4+) batched → (B, ny, nx, C) BEV features.
+
+        The geometry (voxel coords, pillar stats, scatter) is pure and
+        vmapped per sample; Dense + MaskedBatchNorm run on the full batch so
+        BN statistics cover every masked point (reference BN1d semantics) and
+        no variable write happens inside a vmap (tracer leak otherwise)."""
         vs = self.voxel_size
         pcr = self.point_cloud_range
         grid = (self.nx, self.ny, 1)
-        coords, valid = point_voxel_coords(
-            points, pcr, (vs[0], vs[1], pcr[5] - pcr[2]), grid
-        )
-        cnt, mean, key = pillar_stats(points, valid, coords[:, :2], self.nx, self.ny)
-        f_cluster = points[:, :3] - mean
-        centers_x = coords[:, 0].astype(jnp.float32) * vs[0] + (vs[0] / 2 + pcr[0])
-        centers_y = coords[:, 1].astype(jnp.float32) * vs[1] + (vs[1] / 2 + pcr[1])
-        centers_z = jnp.full_like(centers_x, (pcr[5] - pcr[2]) / 2 + pcr[2])
-        f_center = jnp.stack(
-            [points[:, 0] - centers_x, points[:, 1] - centers_y, points[:, 2] - centers_z],
-            axis=1,
-        )
-        feats = [points if self.use_absolute_xyz else points[:, 3:], f_cluster, f_center]
-        if self.with_distance:
-            feats.append(jnp.linalg.norm(points[:, :3], axis=1, keepdims=True))
-        x = jnp.concatenate(feats, axis=1)
-        x = jnp.where(valid[:, None], x, 0.0)
+
+        def geom(points):
+            coords, valid = point_voxel_coords(
+                points, pcr, (vs[0], vs[1], pcr[5] - pcr[2]), grid
+            )
+            cnt, mean, key = pillar_stats(points, valid, coords[:, :2],
+                                          self.nx, self.ny)
+            f_cluster = points[:, :3] - mean
+            centers_x = coords[:, 0].astype(jnp.float32) * vs[0] + (vs[0] / 2 + pcr[0])
+            centers_y = coords[:, 1].astype(jnp.float32) * vs[1] + (vs[1] / 2 + pcr[1])
+            centers_z = jnp.full_like(centers_x, (pcr[5] - pcr[2]) / 2 + pcr[2])
+            f_center = jnp.stack(
+                [points[:, 0] - centers_x, points[:, 1] - centers_y,
+                 points[:, 2] - centers_z],
+                axis=1,
+            )
+            feats = [points if self.use_absolute_xyz else points[:, 3:],
+                     f_cluster, f_center]
+            if self.with_distance:
+                feats.append(jnp.linalg.norm(points[:, :3], axis=1, keepdims=True))
+            x = jnp.concatenate(feats, axis=1)
+            return jnp.where(valid[:, None], x, 0.0), valid, key
+
+        x, valid, key = jax.vmap(geom)(points)  # (B, N, F), (B, N), (B, N)
         for c in self.num_filters:
             x = nn.Dense(c, use_bias=False)(x)
             x = MaskedBatchNorm(momentum=0.99, epsilon=1e-3)(x, valid, train=train)
             x = nn.relu(x)
-        return scatter_max_bev(x, key, valid, self.nx, self.ny)
+        return jax.vmap(
+            lambda xx, kk, vv: scatter_max_bev(xx, kk, vv, self.nx, self.ny)
+        )(x, key, valid)
 
 
 class BEVBackbone(nn.Module):
@@ -237,13 +251,14 @@ class AnchorHeadSingle(nn.Module):
 
 
 class GridDetector(nn.Module):
-    """PointPillar / SECONDNet full detector."""
+    """PointPillar / SECONDNet full detector (single or multi-group head)."""
 
     model_cfg: Any
     num_class: int
     point_cloud_range: Any
     voxel_size: Any
     grid_size: Any
+    class_names: Any = None  # required for AnchorHeadMulti
 
     def setup(self):
         from ..utils.config import Config
@@ -255,17 +270,46 @@ class GridDetector(nn.Module):
         gs = tuple(int(v) for v in self.grid_size)
         self._pcr, self._vs, self._gs = pcr, vs, gs
 
-        anchors_np, fmap = generate_anchors(
-            [c.to_dict() for c in cfg.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG], gs, pcr
+        # multi-class anchor sets also route through the grouped head: it
+        # provides the per-class thresholds + class-major anchor ordering
+        # that the single-head fast path (one class, one threshold) skips
+        self._use_multihead = (
+            cfg.DENSE_HEAD.get("NAME", "AnchorHeadSingle") == "AnchorHeadMulti"
+            or len(cfg.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG) > 1
         )
-        self._anchors = jnp.asarray(anchors_np)
-        acfg = cfg.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG[0]
-        self._matched_thr = float(acfg.matched_threshold)
-        self._unmatched_thr = float(acfg.unmatched_threshold)
-        na = len(acfg.anchor_sizes) * len(acfg.anchor_rotations) * len(
-            acfg.anchor_bottom_heights
-        )
-        self.box_coder = ResidualCoder()
+        # BOX_CODER_CONFIG may live under TARGET_ASSIGNER_CONFIG (reference
+        # cbgs_* configs) or directly under DENSE_HEAD
+        tac = cfg.DENSE_HEAD.get("TARGET_ASSIGNER_CONFIG", None)
+        bcc = (tac.get("BOX_CODER_CONFIG", None) if tac else None)             or cfg.DENSE_HEAD.get("BOX_CODER_CONFIG", None)
+        code_size = int(bcc.get("code_size", 7)) if bcc else 7
+        sincos = bool(bcc.get("encode_angle_by_sincos", False)) if bcc else False
+        self.box_coder = ResidualCoder(code_size=code_size,
+                                       encode_angle_by_sincos=sincos)
+        if self._use_multihead:
+            from .anchor_head_multi import AnchorHeadMulti
+
+            assert self.class_names is not None
+            self.dense_head_multi = AnchorHeadMulti(
+                model_cfg=cfg.DENSE_HEAD.to_dict(),
+                class_names=tuple(self.class_names),
+                grid_size=gs, point_cloud_range=pcr,
+                code_size=code_size,
+                encode_angle_by_sincos=sincos,
+            )
+            anchors_np = None
+        else:
+            anchors_np, fmap = generate_anchors(
+                [c.to_dict() for c in cfg.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG],
+                gs, pcr,
+            )
+        if anchors_np is not None:
+            self._anchors = jnp.asarray(anchors_np)
+            acfg = cfg.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG[0]
+            self._matched_thr = float(acfg.matched_threshold)
+            self._unmatched_thr = float(acfg.unmatched_threshold)
+            na = len(acfg.anchor_sizes) * len(acfg.anchor_rotations) * len(
+                acfg.anchor_bottom_heights
+            )
 
         if cfg.NAME == "PointPillar":
             self.vfe = PillarFeatureNet(
@@ -282,13 +326,14 @@ class GridDetector(nn.Module):
             upsample_strides=tuple(bb.UPSAMPLE_STRIDES),
             num_upsample_filters=tuple(bb.NUM_UPSAMPLE_FILTERS),
         )
-        self.dense_head = AnchorHeadSingle(
-            num_class=self.num_class,
-            num_anchors_per_loc=na,
-            code_size=self.box_coder.code_size,
-            num_dir_bins=int(cfg.DENSE_HEAD.get("NUM_DIR_BINS", 2)),
-            use_dir=bool(cfg.DENSE_HEAD.get("USE_DIRECTION_CLASSIFIER", True)),
-        )
+        if not self._use_multihead:
+            self.dense_head = AnchorHeadSingle(
+                num_class=self.num_class,
+                num_anchors_per_loc=na,
+                code_size=self.box_coder.code_size,
+                num_dir_bins=int(cfg.DENSE_HEAD.get("NUM_DIR_BINS", 2)),
+                use_dir=bool(cfg.DENSE_HEAD.get("USE_DIRECTION_CLASSIFIER", True)),
+            )
         if cfg.NAME == "SECONDNet":
             from .sparse_conv import VoxelBackBone8x
 
@@ -300,21 +345,31 @@ class GridDetector(nn.Module):
 
         cfg = Config(self.cfg)  # flax re-freezes setup attrs
         if cfg.NAME == "PointPillar":
-            bev = jax.vmap(lambda p: self.vfe(p, train=train))(points)
+            bev = self.vfe(points, train=train)
         else:  # SECONDNet
             gs = self._gs
+            shape_zyx = (gs[2] + 1, gs[1], gs[0])  # z padded like spconv
 
-            def one(p):
+            def prep(p):  # pure voxelization per sample
                 coords, valid = point_voxel_coords(p, self._pcr, self._vs, gs)
-                vc, vf, vv, vk = voxelize_sparse(
+                return voxelize_sparse(
                     p, valid, coords, max_voxels, gs[0], gs[1], gs[2]
                 )
-                shape_zyx = (gs[2] + 1, gs[1], gs[0])  # z padded like spconv
-                return self.backbone_3d(vf, vc, vk, vv, shape_zyx, train=train)
 
-            bev = jax.vmap(one)(points)
+            vc, vf, vv, vk = jax.vmap(prep)(points)
+            bev = self.backbone_3d(vf, vc, vk, vv, shape_zyx, train=train)
 
         bev2d = self.backbone_2d(bev, train=train)
+        if self._use_multihead:
+            out = self.dense_head_multi(bev2d, gt_boxes=gt_boxes, train=train)
+            if not train:
+                batch_cls, batch_box = decode_anchor_boxes(
+                    cfg, out["anchors"], self.box_coder,
+                    out["cls_preds"], out["box_preds"], out["dir_cls_preds"],
+                )
+                out["batch_cls_preds"] = batch_cls
+                out["batch_box_preds"] = batch_box
+            return out
         cls_preds, box_preds, dir_preds = self.dense_head(bev2d)
 
         out = {"cls_preds": cls_preds, "box_preds": box_preds,
@@ -370,15 +425,25 @@ def grid_detector_loss(out, cfg, num_class: int = 1):
     pos_norm = jnp.clip(positives.sum(1, keepdims=True).astype(jnp.float32), 1.0, None)
     cls_w = cls_w / pos_norm
     reg_w = reg_w / pos_norm
+    assert cls_preds.shape[-1] == num_class, (
+        f"cls_preds have {cls_preds.shape[-1]} class columns but the loss "
+        f"was built for num_class={num_class}: a narrower one-hot would "
+        "silently broadcast targets across columns")
     one_hot = jax.nn.one_hot(jnp.clip(labels, 0, None), num_class + 1)[..., 1:]
     cls_loss = sigmoid_focal_loss(cls_preds, one_hot, cls_w).sum() / b
     cls_loss = cls_loss * lw.cls_weight
 
-    # sin(a−b) residual trick on the heading channel
-    sin_pred = jnp.sin(box_preds[..., 6:7]) * jnp.cos(reg_targets[..., 6:7])
-    sin_tgt = jnp.cos(box_preds[..., 6:7]) * jnp.sin(reg_targets[..., 6:7])
-    bp = jnp.concatenate([box_preds[..., :6], sin_pred], axis=-1)
-    bt = jnp.concatenate([reg_targets[..., :6], sin_tgt], axis=-1)
+    if out.get("box_coder_sincos", False):
+        # sincos coders already regress cos/sin residual channels — no trick
+        bp, bt = box_preds, reg_targets
+    else:
+        # sin(a−b) residual trick on the heading channel
+        sin_pred = jnp.sin(box_preds[..., 6:7]) * jnp.cos(reg_targets[..., 6:7])
+        sin_tgt = jnp.cos(box_preds[..., 6:7]) * jnp.sin(reg_targets[..., 6:7])
+        bp = jnp.concatenate(
+            [box_preds[..., :6], sin_pred, box_preds[..., 7:]], axis=-1)
+        bt = jnp.concatenate(
+            [reg_targets[..., :6], sin_tgt, reg_targets[..., 7:]], axis=-1)
     loc_loss = weighted_smooth_l1(bp, bt, reg_w, list(lw.code_weights)).sum() / b
     loc_loss = loc_loss * lw.loc_weight
     total = cls_loss + loc_loss
@@ -387,7 +452,10 @@ def grid_detector_loss(out, cfg, num_class: int = 1):
     if out.get("dir_cls_preds") is not None:
         bins = int(cfg.DENSE_HEAD.NUM_DIR_BINS)
         dir_offset = float(cfg.DENSE_HEAD.DIR_OFFSET)
-        rot_gt = reg_targets[..., 6] + anchors[..., 6]
+        if "box_gt_heading" in out:  # sincos coders: use the raw gt heading
+            rot_gt = out["box_gt_heading"]
+        else:
+            rot_gt = reg_targets[..., 6] + anchors[..., 6]
         offset_rot = limit_period(rot_gt - dir_offset, 0, 2 * jnp.pi)
         dir_targets = jnp.clip(
             jnp.floor(offset_rot / (2 * jnp.pi / bins)).astype(jnp.int32), 0, bins - 1
@@ -405,12 +473,31 @@ def grid_detector_loss(out, cfg, num_class: int = 1):
 
 def grid_post_process(out, post_cfg):
     """Score-thresholded NMS over decoded anchors (same contract as
-    pointrcnn.post_process)."""
+    pointrcnn.post_process). MULTI_CLASSES_NMS runs per-class rotated NMS
+    (reference model_nms_utils.multi_classes_nms) — the CBGS operating
+    point."""
     nms_cfg = post_cfg.NMS_CONFIG
     pre_max = int(nms_cfg.NMS_PRE_MAXSIZE)
     post_max = int(nms_cfg.NMS_POST_MAXSIZE)
     thresh = float(nms_cfg.NMS_THRESH)
     score_thresh = float(post_cfg.SCORE_THRESH)
+    multi = bool(nms_cfg.get("MULTI_CLASSES_NMS", False))
+
+    if multi:
+        from ..ops.iou3d import multi_classes_nms
+
+        def per_sample_mc(cls, boxes):
+            scores = jax.nn.sigmoid(cls)
+            fs, fl, idx, fm = multi_classes_nms(
+                scores, boxes[..., :7], thresh, score_thresh=score_thresh,
+                pre_maxsize=pre_max, post_maxsize=post_max,
+            )
+            return boxes[idx], fs, fl, fm
+
+        fb, fs, fl, fm = jax.vmap(per_sample_mc)(
+            out["batch_cls_preds"], out["batch_box_preds"])
+        return {"boxes": fb, "scores": fs, "labels": fl, "valid": fm,
+                "rois": None}
 
     def per_sample(cls, boxes):
         scores = jax.nn.sigmoid(cls).max(axis=-1)

@@ -57,21 +57,29 @@ class MaskedBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, train: bool = False):
+        """x (..., C), mask (...): stats over ALL masked rows (incl. the
+        batch axis — the same population the reference's BN1d sees; a
+        MaskedBatchNorm must never sit inside a jax.vmap, where its
+        batch_stats writes leak tracers and its stats go per-sample)."""
         c = x.shape[-1]
+        lead = x.shape[:-1]
+        xf = x.reshape(-1, c)
+        mf = mask.reshape(-1)
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
 
         if train:
-            w = mask.astype(x.dtype)[:, None]
+            w = mf.astype(xf.dtype)[:, None]
             cnt = jnp.maximum(w.sum(), 1.0)
-            mean = (x * w).sum(0) / cnt
-            var = (jnp.square(x - mean) * w).sum(0) / cnt
+            mean = (xf * w).sum(0) / cnt
+            var = (jnp.square(xf - mean) * w).sum(0) / cnt
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
         else:
             mean, var = ra_mean.value, ra_var.value
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
-        return jnp.where(mask[:, None], y, 0.0)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        y = jnp.where(mf[:, None], y, 0.0)
+        return y.reshape(*lead, c)

@@ -143,16 +143,17 @@ class PartA2(nn.Module):
         pcr, vs, gs = self._pcr, self._vs, self._gs
         b = points.shape[0]
 
-        def one(p):
+        shape_zyx = (gs[2] + 1, gs[1], gs[0])
+
+        def prep(p):  # pure voxelization per sample
             coords, valid = point_voxel_coords(p, pcr, vs, gs)
-            vc, vf, vv, vk = voxelize_sparse(
+            return voxelize_sparse(
                 p, valid, coords, max_voxels, gs[0], gs[1], gs[2]
             )
-            shape_zyx = (gs[2] + 1, gs[1], gs[0])
-            bev, u1 = self.backbone_3d(vf, vc, vk, vv, shape_zyx, train=train)
-            return bev, u1, vc, vv
 
-        bev, u1, vcoords, vvalid = jax.vmap(one)(points)
+        vc, vf, vv, vk = jax.vmap(prep)(points)
+        bev, u1 = self.backbone_3d(vf, vc, vk, vv, shape_zyx, train=train)
+        vcoords, vvalid = vc, vv
         bev2d = self.backbone_2d(bev, train=train)
         cls_preds, box_preds, dir_preds = self.dense_head(bev2d)
 

@@ -52,7 +52,15 @@ def gather_neighbors(feats, keys, valid, coords, shape_zyx, offsets=OFFSETS3,
 
 
 class SubMConv3d(nn.Module):
-    """Submanifold conv: outputs live exactly on the input active set."""
+    """Submanifold conv: outputs live exactly on the input active set.
+
+    All sparse modules take BATCHED tensors — feats (B, V, C), coords
+    (B, V, 3), keys/valid (B, V) — with the pure gather/scatter helpers
+    vmapped internally. Modules must never be called under jax.vmap: the
+    MaskedBatchNorm they feed writes batch_stats, and variable writes
+    inside a plain vmap leak tracers (and would compute per-sample stats,
+    unlike the reference's whole-batch BN1d).
+    """
 
     out_channels: int
     kernel: int = 3
@@ -60,17 +68,19 @@ class SubMConv3d(nn.Module):
     @nn.compact
     def __call__(self, feats, coords, keys, valid, shape_zyx):
         k3 = self.kernel ** 3
-        cin = feats.shape[-1]
+        b, v, cin = feats.shape
         w = self.param(
             "kernel", nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             (k3 * cin, self.out_channels),
         )
-        gathered = gather_neighbors(feats, keys, valid, coords, shape_zyx)
+        gathered = jax.vmap(
+            lambda f, k, vl, c: gather_neighbors(f, k, vl, c, shape_zyx)
+        )(feats, keys, valid, coords)  # (B, V, k3, C)
         out = jnp.dot(
-            gathered.reshape(-1, k3 * cin), w,
+            gathered.reshape(b * v, k3 * cin), w,
             preferred_element_type=jnp.float32,
-        )
-        return jnp.where(valid[:, None], out, 0.0)
+        ).reshape(b, v, self.out_channels)
+        return jnp.where(valid[..., None], out, 0.0)
 
 
 def downsample_active_set(coords, keys, valid, shape_zyx, out_shape_zyx,
@@ -129,18 +139,13 @@ class SparseConv3d(nn.Module):
     @nn.compact
     def __call__(self, feats, coords, keys, valid, shape_zyx, out_shape_zyx):
         kz, ky, kx = self.kernel
-        cin = feats.shape[-1]
+        b, v, cin = feats.shape
         kvol = kz * ky * kx
         w = self.param(
             "kernel", nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             (kvol * cin, self.out_channels),
         )
-        max_out = self.max_out or feats.shape[0]
-        out_coords, out_keys, out_valid = downsample_active_set(
-            coords, keys, valid, shape_zyx, out_shape_zyx,
-            jnp.array(self.stride, jnp.int32), jnp.array(self.padding, jnp.int32),
-            max_out,
-        )
+        max_out = self.max_out or v
         offsets = jnp.stack(
             jnp.meshgrid(
                 jnp.arange(kz), jnp.arange(ky), jnp.arange(kx), indexing="ij"
@@ -149,18 +154,40 @@ class SparseConv3d(nn.Module):
         ).reshape(-1, 3).astype(jnp.int32)
         stride = jnp.array(self.stride, jnp.int32)
         padding = jnp.array(self.padding, jnp.int32)
-        base = out_coords * stride - padding
-        nbr = base[:, None, :] + offsets[None, :, :]
-        nbr_key, inb = flat_key(nbr, shape_zyx)
-        idx = jnp.searchsorted(keys, nbr_key).astype(jnp.int32)
-        idx_c = jnp.clip(idx, 0, keys.shape[0] - 1)
-        hit = inb & (keys[idx_c] == nbr_key) & valid[idx_c]
-        gathered = feats[idx_c] * hit[..., None]
+
+        def one(feats, coords, keys, valid):
+            out_coords, out_keys, out_valid = downsample_active_set(
+                coords, keys, valid, shape_zyx, out_shape_zyx,
+                stride, padding, max_out,
+            )
+            base = out_coords * stride - padding
+            nbr = base[:, None, :] + offsets[None, :, :]
+            nbr_key, inb = flat_key(nbr, shape_zyx)
+            idx = jnp.searchsorted(keys, nbr_key).astype(jnp.int32)
+            idx_c = jnp.clip(idx, 0, keys.shape[0] - 1)
+            hit = inb & (keys[idx_c] == nbr_key) & valid[idx_c]
+            gathered = feats[idx_c] * hit[..., None]
+            return gathered, out_coords, out_keys, out_valid
+
+        gathered, out_coords, out_keys, out_valid = jax.vmap(one)(
+            feats, coords, keys, valid)
         out = jnp.dot(
-            gathered.reshape(-1, kvol * cin), w, preferred_element_type=jnp.float32
-        )
-        out = jnp.where(out_valid[:, None], out, 0.0)
+            gathered.reshape(b * max_out, kvol * cin), w,
+            preferred_element_type=jnp.float32,
+        ).reshape(b, max_out, self.out_channels)
+        out = jnp.where(out_valid[..., None], out, 0.0)
         return out, out_coords, out_keys, out_valid
+
+
+def _height_compress(x, key, valid, shape_zyx):
+    """Scatter one sample's active voxels to a dense BEV map:
+    (V, C) → (ny, nx, nz·C) (the reference's HeightCompression)."""
+    nz, ny, nx = shape_zyx
+    dense = jnp.zeros((nz * ny * nx + 1, x.shape[-1]), x.dtype)
+    k = jnp.where(valid, key, nz * ny * nx)
+    dense = dense.at[k].set(jnp.where(valid[:, None], x, 0.0))
+    dense = dense[:-1].reshape(nz, ny, nx, -1)
+    return jnp.transpose(dense, (1, 2, 0, 3)).reshape(ny, nx, nz * x.shape[-1])
 
 
 class SparseBasicBlock(nn.Module):
@@ -228,12 +255,8 @@ class VoxelBackBone8x(nn.Module):
         x = nn.relu(x)
 
         # HeightCompression: scatter to dense (nz', ny', nx', C) → (ny', nx', nz'*C)
-        nz, ny, nx = s5
-        dense = jnp.zeros((nz * ny * nx + 1, x.shape[-1]), x.dtype)
-        key5 = jnp.where(v5, k5, nz * ny * nx)
-        dense = dense.at[key5].set(jnp.where(v5[:, None], x, 0.0))
-        dense = dense[:-1].reshape(nz, ny, nx, -1)
-        bev = jnp.transpose(dense, (1, 2, 0, 3)).reshape(ny, nx, nz * x.shape[-1])
+        bev = jax.vmap(lambda xx, kk, vv: _height_compress(xx, kk, vv, s5))(
+            x, k5, v5)
         if self.return_multiscale:
             # strides are static: x_conv1=1, x_conv2=2, x_conv3=4, x_conv4=8
             # (kept out of the return value so vmap doesn't batch them);
@@ -290,27 +313,31 @@ class SparseInverseConv3d(nn.Module):
             (27, cin, self.out_channels),
         )
 
-        hi = (fine_coords + padding) // stride  # max candidate parent per dim
-        outs = jnp.zeros((fine_coords.shape[0], self.out_channels), jnp.float32)
-        for dz in (0, 1):
-            for dy in (0, 1):
-                for dx in (0, 1):
-                    c = hi - jnp.array([dz, dy, dx], jnp.int32)  # (Vf, 3)
-                    lo_in = c * stride - padding
-                    tap = fine_coords - lo_in  # (Vf, 3) in [0, 2] when valid
-                    ok = ((tap >= 0) & (tap <= 2)).all(-1)
-                    key, inb = flat_key(c, coarse_shape_zyx)
-                    idx = jnp.searchsorted(coarse_keys, key).astype(jnp.int32)
-                    idx_c = jnp.clip(idx, 0, coarse_keys.shape[0] - 1)
-                    hit = ok & inb & (coarse_keys[idx_c] == key) & coarse_valid[idx_c]
-                    g = coarse_feats[idx_c] * hit[:, None]  # (Vf, Cin)
-                    tap_id = jnp.clip((tap[:, 0] * 3 + tap[:, 1]) * 3 + tap[:, 2],
-                                      0, 26)
-                    wt = w[tap_id]  # (Vf, Cin, Cout)
-                    outs = outs + jnp.einsum(
-                        "vc,vco->vo", g, wt,
-                        preferred_element_type=jnp.float32)
-        return jnp.where(fine_valid[:, None], outs, 0.0)
+        def one(coarse_feats, coarse_keys, coarse_valid, fine_coords, fine_valid):
+            hi = (fine_coords + padding) // stride  # max candidate parent/dim
+            outs = jnp.zeros((fine_coords.shape[0], self.out_channels), jnp.float32)
+            for dz in (0, 1):
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        c = hi - jnp.array([dz, dy, dx], jnp.int32)  # (Vf, 3)
+                        lo_in = c * stride - padding
+                        tap = fine_coords - lo_in  # (Vf, 3) in [0, 2] when valid
+                        ok = ((tap >= 0) & (tap <= 2)).all(-1)
+                        key, inb = flat_key(c, coarse_shape_zyx)
+                        idx = jnp.searchsorted(coarse_keys, key).astype(jnp.int32)
+                        idx_c = jnp.clip(idx, 0, coarse_keys.shape[0] - 1)
+                        hit = ok & inb & (coarse_keys[idx_c] == key) & coarse_valid[idx_c]
+                        g = coarse_feats[idx_c] * hit[:, None]  # (Vf, Cin)
+                        tap_id = jnp.clip((tap[:, 0] * 3 + tap[:, 1]) * 3 + tap[:, 2],
+                                          0, 26)
+                        wt = w[tap_id]  # (Vf, Cin, Cout)
+                        outs = outs + jnp.einsum(
+                            "vc,vco->vo", g, wt,
+                            preferred_element_type=jnp.float32)
+            return jnp.where(fine_valid[:, None], outs, 0.0)
+
+        return jax.vmap(one)(coarse_feats, coarse_keys, coarse_valid,
+                             fine_coords, fine_valid)
 
 
 class SparseUNet(nn.Module):
@@ -357,12 +384,8 @@ class SparseUNet(nn.Module):
             128, (2, 1, 1), (0, 0, 0), kernel=(3, 1, 1), name="conv_out"
         )(x4, c4, k4, v4, s4, s5)
         xo = nn.relu(MaskedBatchNorm(name="conv_out_bn")(xo, v5, train=train))
-        nz5, ny5, nx5 = s5
-        dense = jnp.zeros((nz5 * ny5 * nx5 + 1, xo.shape[-1]), xo.dtype)
-        key5 = jnp.where(v5, k5, nz5 * ny5 * nx5)
-        dense = dense.at[key5].set(jnp.where(v5[:, None], xo, 0.0))
-        bev = jnp.transpose(dense[:-1].reshape(nz5, ny5, nx5, -1),
-                            (1, 2, 0, 3)).reshape(ny5, nx5, nz5 * xo.shape[-1])
+        bev = jax.vmap(lambda xx, kk, vv: _height_compress(xx, kk, vv, s5))(
+            xo, k5, v5)
 
         def up(coarse, ck, cv, cs, lateral, lcoords, lkeys, lvalid, ls,
                stride, padding, cout, name):

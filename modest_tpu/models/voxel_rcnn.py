@@ -155,15 +155,16 @@ class VoxelRCNN(nn.Module):
         pcr, vs, gs = self._pcr, self._vs, self._gs
         b = points.shape[0]
 
-        def one(p):
+        shape_zyx = (gs[2] + 1, gs[1], gs[0])
+
+        def prep(p):  # pure voxelization per sample
             coords, valid = point_voxel_coords(p, pcr, vs, gs)
-            vc, vf, vv, vk = voxelize_sparse(
+            return voxelize_sparse(
                 p, valid, coords, max_voxels, gs[0], gs[1], gs[2]
             )
-            shape_zyx = (gs[2] + 1, gs[1], gs[0])
-            return self.backbone_3d(vf, vc, vk, vv, shape_zyx, train=train)
 
-        bev, multiscale = jax.vmap(one)(points)
+        vc, vf, vv, vk = jax.vmap(prep)(points)
+        bev, multiscale = self.backbone_3d(vf, vc, vk, vv, shape_zyx, train=train)
         bev2d = self.backbone_2d(bev, train=train)
         cls_preds, box_preds, dir_preds = self.dense_head(bev2d)
 

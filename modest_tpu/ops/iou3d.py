@@ -333,3 +333,30 @@ def class_agnostic_nms(box_scores, box_preds, nms_thresh, score_thresh=None,
         return top_idx[keep_idx], keep_mask
     keep_idx, keep_mask = nms_bev(box_preds, scores, nms_thresh, post_maxsize)
     return keep_idx, keep_mask
+
+
+def multi_classes_nms(cls_scores, box_preds, nms_thresh, score_thresh=None,
+                      pre_maxsize=None, post_maxsize=512):
+    """Per-class rotated NMS (reference model_nms_utils.multi_classes_nms).
+
+    cls_scores: (N, C) per-class scores; box_preds: (N, 7) shared boxes (the
+    reference also supports per-class boxes — pass (N, C, 7) for that).
+    Returns (scores (C·K,), labels (C·K,) 1-based, idx (C·K,), mask (C·K,))
+    with K = post_maxsize slots per class, concatenated in class order.
+    """
+    n, num_class = cls_scores.shape
+    per_class_boxes = box_preds.ndim == 3
+    all_scores, all_labels, all_idx, all_mask = [], [], [], []
+    for c in range(num_class):
+        boxes_c = box_preds[:, c] if per_class_boxes else box_preds
+        scores_c = cls_scores[:, c]
+        keep_idx, keep_mask = class_agnostic_nms(
+            scores_c, boxes_c, nms_thresh, score_thresh=score_thresh,
+            pre_maxsize=pre_maxsize, post_maxsize=post_maxsize,
+        )
+        all_scores.append(jnp.where(keep_mask, scores_c[keep_idx], 0.0))
+        all_labels.append(jnp.full((post_maxsize,), c + 1, jnp.int32))
+        all_idx.append(keep_idx)
+        all_mask.append(keep_mask)
+    return (jnp.concatenate(all_scores), jnp.concatenate(all_labels),
+            jnp.concatenate(all_idx), jnp.concatenate(all_mask))

@@ -53,7 +53,10 @@ def make_train_step(model, model_cfg, optimizer, mesh=None):
                 {"params": params, "batch_stats": state.batch_stats},
                 points, gt_boxes, rng,
             )
-            loss, metrics = model_api.compute_loss(out, gt_boxes, model_cfg)
+            loss, metrics = model_api.compute_loss(
+                out, gt_boxes, model_cfg,
+                num_class=int(getattr(model, "num_class", 1)),
+            )
             return loss, (metrics, new_bs)
 
         grads, (metrics, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)

@@ -130,10 +130,11 @@ def test_sparse_subm_conv_matches_dense(rng):
     valid_p = np.concatenate([np.ones(V, bool), np.zeros(pad, bool)])
 
     mod = SubMConv3d(4)
-    vars_ = mod.init(jax.random.PRNGKey(0), jnp.asarray(feats_p), jnp.asarray(coords_p),
-                     jnp.asarray(keys_p), jnp.asarray(valid_p), (nz, ny, nx))
-    out = mod.apply(vars_, jnp.asarray(feats_p), jnp.asarray(coords_p),
-                    jnp.asarray(keys_p), jnp.asarray(valid_p), (nz, ny, nx))
+    b1 = lambda a: jnp.asarray(a)[None]  # modules are batched
+    vars_ = mod.init(jax.random.PRNGKey(0), b1(feats_p), b1(coords_p),
+                     b1(keys_p), b1(valid_p), (nz, ny, nx))
+    out = mod.apply(vars_, b1(feats_p), b1(coords_p),
+                    b1(keys_p), b1(valid_p), (nz, ny, nx))[0]
 
     # dense oracle: correlate with the same kernel
     w = np.asarray(vars_["params"]["kernel"]).reshape(3, 3, 3, 3, 4)

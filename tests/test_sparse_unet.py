@@ -29,12 +29,13 @@ def test_sparse_inverse_conv_matches_bruteforce(rng):
     f_valid = np.ones(len(f_coords), bool)
 
     m = SparseInverseConv3d(cout, stride, padding)
-    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(c_feats),
-                       jnp.asarray(c_keys), jnp.asarray(c_valid), cs,
-                       jnp.asarray(f_coords), jnp.asarray(f_valid), fs)
-    out = np.asarray(m.apply(variables, jnp.asarray(c_feats), jnp.asarray(c_keys),
-                             jnp.asarray(c_valid), cs, jnp.asarray(f_coords),
-                             jnp.asarray(f_valid), fs))
+    # modules are batched: add a singleton batch dim
+    b1 = lambda a: jnp.asarray(a)[None]
+    variables = m.init(jax.random.PRNGKey(0), b1(c_feats), b1(c_keys),
+                       b1(c_valid), cs, b1(f_coords), b1(f_valid), fs)
+    out = np.asarray(m.apply(variables, b1(c_feats), b1(c_keys),
+                             b1(c_valid), cs, b1(f_coords),
+                             b1(f_valid), fs))[0]
     w = np.asarray(variables["params"]["kernel"])  # (27, cin, cout)
 
     # brute force: out[f] = sum over coarse c with f in window(c) of
@@ -65,9 +66,11 @@ def test_sparse_unet_shapes(rng):
                                      gs[0], gs[1], gs[2])
     shape_zyx = (gs[2] + 1, gs[1], gs[0])
     m = SparseUNet()
+    vf, vc, vk, vv = vf[None], vc[None], vk[None], vv[None]  # batched modules
     variables = m.init(jax.random.PRNGKey(0), vf, vc, vk, vv, shape_zyx)
     bev, u1 = m.apply(variables, vf, vc, vk, vv, shape_zyx,
                       mutable=["batch_stats"])[0]
+    bev, u1, vv = bev[0], u1[0], vv[0]
     assert bev.shape[:2] == (2, 2) and bev.shape[2] % 128 == 0  # ny/8, nx/8, nz'*128
     assert u1.shape == (256, 16)
     # active full-res voxels get features, padding rows stay zero
