@@ -117,29 +117,49 @@ def _fps_kernel(xt_ref, out_ref, dists_ref):
     jax.lax.fori_loop(1, npoint, body, (x[:, 0:1], y[:, 0:1], z[:, 0:1]))
 
 
+def _batch_chunk(b: int, n: int, npoint: int) -> int:
+    """Largest batch chunk whose VMEM working set stays within ~4 MB —
+    large effective batches (e.g. the RoI head's B·R sub-clouds) otherwise
+    exceed the 16 MB scoped-vmem limit. The per-sample estimate counts the
+    3 coord rows, the dists scratch, ~6 live elementwise temporaries, the
+    (8, 128)-tile padding of small dims, and the output slots."""
+    bytes_per = 4 * (12 * max(n, 128) + 4 * max(npoint, 128))
+    bc = max(8, ((4 << 20) // bytes_per) // 8 * 8)
+    # Mosaic requires the blocked second-to-last dim to be a multiple of 8
+    # (the (bc, npoint) output block), so chunks step by 8; tiny batches run
+    # as a single block
+    while bc > 0 and b % bc:
+        bc -= 8
+    return bc if 0 < bc <= b else b
+
+
 @functools.partial(jax.jit, static_argnames=("npoint", "interpret"))
 def furthest_point_sample_pallas(xyz, npoint: int, interpret: bool = False):
-    """(B, N, 3) → (B, npoint) int32, single kernel launch."""
+    """(B, N, 3) → (B, npoint) int32; gridded over batch chunks."""
     b, n, _ = xyz.shape
+    bc = _batch_chunk(b, n, npoint)
+    grid = (b // bc,)
     if n % 1024 == 0:
         # full-sublane layout: (B, 3, 8, N/8); row-major flat index == original
         xt = jnp.transpose(xyz, (0, 2, 1)).astype(jnp.float32)
         xt = xt.reshape(b, 3, 8, n // 8)
         out = pl.pallas_call(
             functools.partial(_fps_kernel3d, unroll=4),
+            grid=grid,
             out_shape=jax.ShapeDtypeStruct((b, 1, npoint), jnp.int32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((b, 8, n // 8), jnp.float32)],
+            in_specs=[pl.BlockSpec((bc, 3, 8, n // 8), lambda i: (i, 0, 0, 0))],
+            out_specs=pl.BlockSpec((bc, 1, npoint), lambda i: (i, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((bc, 8, n // 8), jnp.float32)],
             interpret=interpret,
         )(xt)
         return out[:, 0]
     xt = jnp.transpose(xyz, (0, 2, 1)).astype(jnp.float32)  # (B, 3, N)
     return pl.pallas_call(
         _fps_kernel,
+        grid=grid,
         out_shape=jax.ShapeDtypeStruct((b, npoint), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((b, n), jnp.float32)],
+        in_specs=[pl.BlockSpec((bc, 3, n), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((bc, npoint), lambda i: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((bc, n), jnp.float32)],
         interpret=interpret,
     )(xt)
