@@ -137,12 +137,36 @@ def _gather_feats_hbm(features, flat):
     b, s, c = features.shape
     m = flat.shape[1]
     if s <= 1024 and b * m * s * 2 <= (2 << 30):
-        onehot = (flat[..., None] == jnp.arange(s)).astype(jnp.bfloat16)
-        return jnp.einsum(
-            "bms,bsc->bmc", onehot, features.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
+        return _onehot_gather(features, flat)
     return gather_points(features.astype(jnp.bfloat16), flat).astype(jnp.float32)
+
+
+@jax.custom_vjp
+def _onehot_gather(features, flat):
+    """Gather rows of (B, S, C) via a one-hot MXU contraction. The custom
+    vjp recomputes the one-hot in backward (it is a function of the indices
+    alone) instead of saving the (B, M, S) tensor as a residual — without
+    this, a training step holds every level's one-hot live and OOMs HBM.
+    The backward is itself a matmul (the transposed contraction), replacing
+    the scatter-add a gather's backward would lower to."""
+    onehot = (flat[..., None] == jnp.arange(features.shape[1])).astype(jnp.bfloat16)
+    return jnp.einsum("bms,bsc->bmc", onehot, features.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+
+
+def _onehot_gather_fwd(features, flat):
+    return _onehot_gather(features, flat), (flat, features.shape[1])
+
+
+def _onehot_gather_bwd(res, g):
+    flat, s = res
+    onehot = (flat[..., None] == jnp.arange(s)).astype(jnp.bfloat16)
+    gf = jnp.einsum("bms,bmc->bsc", onehot, g.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    return gf, None
+
+
+_onehot_gather.defvjp(_onehot_gather_fwd, _onehot_gather_bwd)
 
 
 def query_and_group(xyz, new_xyz, features, d2, radius: float, nsample: int,
