@@ -283,7 +283,11 @@ def roipoint_pool3d(points, point_features, boxes3d, num_sampled_points: int = 5
         slot = jnp.arange(num_sampled_points, dtype=jnp.int32)
         src = jnp.where(cnt > 0, slot % jnp.maximum(cnt, 1), 0)
         sel = top_idx[src]
-        pooled = jnp.concatenate([pts[sel], feats[sel]], axis=-1)
+        if jax.default_backend() == "cpu" or feats.dtype != jnp.float32:
+            fsel = feats[sel]
+        else:  # activations at half width on the HBM-bound gather (coords f32)
+            fsel = feats.astype(jnp.bfloat16)[sel].astype(jnp.float32)
+        pooled = jnp.concatenate([pts[sel], fsel], axis=-1)
         return pooled, (cnt == 0).astype(jnp.int32)
 
     return jax.vmap(  # over batch
