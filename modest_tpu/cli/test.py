@@ -37,6 +37,8 @@ def main(argv=None):
     parser.add_argument("--data_path", type=str, default=None)
     parser.add_argument("--output_dir", type=str, default=None)
     parser.add_argument("--save_to_file", action="store_true")
+    parser.add_argument("--workers", type=int, default=4,
+                        help="loader prefetch threads")
     parser.add_argument("--eval_all", action="store_true",
                         help="evaluate every checkpoint in ckpt_dir, polling "
                              "for new ones (reference test.py repeat_eval_ckpt)")
@@ -63,6 +65,7 @@ def main(argv=None):
 
     eval_set, eval_loader = build_dataloader(
         cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size, training=False,
+        num_workers=args.workers,
     )
     eval_loader.drop_last = False
     model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset=eval_set)

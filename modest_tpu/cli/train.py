@@ -54,6 +54,10 @@ def parse_config(argv=None):
                         help="ckpt dir for a shape-checked partial transfer "
                              "load (reference --pretrained_model)")
     parser.add_argument("--fix_random_seed", action="store_true")
+    parser.add_argument("--workers", type=int, default=4,
+                        help="loader prefetch threads (reference torch "
+                             "DataLoader workers=4); --fix_random_seed "
+                             "forces 0 for a deterministic RNG stream")
     parser.add_argument("--ckpt_save_interval", type=int, default=1)
     parser.add_argument("--max_ckpt_save_num", type=int, default=30)
     parser.add_argument("--merge_all_iters_to_one_epoch", action="store_true")
@@ -82,6 +86,7 @@ def main(argv=None):
     args, cfg = parse_config(argv)
     if args.fix_random_seed:
         np.random.seed(666)
+        args.workers = 0
 
     out_root = Path(args.output_dir) if args.output_dir else Path("output") / cfg.TAG / args.extra_tag
     ckpt_dir = out_root / "ckpt"
@@ -98,7 +103,7 @@ def main(argv=None):
         cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size,
         training=True, logger=logger, total_epochs=epochs,
         merge_all_iters_to_one_epoch=args.merge_all_iters_to_one_epoch,
-        max_gt=args.max_gt,
+        max_gt=args.max_gt, num_workers=args.workers,
     )
     total_steps = len(train_loader) * epochs
 
@@ -144,6 +149,7 @@ def main(argv=None):
         eval_set, eval_loader = build_dataloader(
             cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size,
             training=False, logger=logger, max_gt=args.max_gt,
+            num_workers=args.workers,
         )
         eval_loader.drop_last = False
         result_dir = out_root / "eval" / f"epoch_{epochs}" / "val"

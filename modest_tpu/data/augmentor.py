@@ -162,6 +162,8 @@ def random_flip_along_x(gt_boxes, points):
         gt_boxes[:, 1] = -gt_boxes[:, 1]
         gt_boxes[:, 6] = -gt_boxes[:, 6]
         points[:, 1] = -points[:, 1]
+        if gt_boxes.shape[1] > 7:  # velocity columns [vx, vy]: y-flip negates vy
+            gt_boxes[:, 8] = -gt_boxes[:, 8]
     return gt_boxes, points
 
 
@@ -170,6 +172,8 @@ def random_flip_along_y(gt_boxes, points):
         gt_boxes[:, 0] = -gt_boxes[:, 0]
         gt_boxes[:, 6] = -(gt_boxes[:, 6] + np.pi)
         points[:, 0] = -points[:, 0]
+        if gt_boxes.shape[1] > 7:  # x-flip negates vx
+            gt_boxes[:, 7] = -gt_boxes[:, 7]
     return gt_boxes, points
 
 
@@ -183,6 +187,14 @@ def global_rotation(gt_boxes, points, rot_range):
             gt_boxes[np.newaxis, :, 0:3], np.array([angle])
         )[0]
         gt_boxes[:, 6] += angle
+        if gt_boxes.shape[1] > 7:  # rotate velocity vector with the scene
+            vel = np.concatenate(
+                [gt_boxes[:, 7:9], np.zeros((gt_boxes.shape[0], 1), gt_boxes.dtype)],
+                axis=1,
+            )
+            gt_boxes[:, 7:9] = box_np.rotate_points_along_z(
+                vel[np.newaxis], np.array([angle])
+            )[0][:, :2]
     return gt_boxes, points
 
 

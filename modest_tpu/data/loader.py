@@ -6,8 +6,22 @@ is a dense dict of numpy arrays ready for jax device_put:
   points (B, N, 4) f32, gt_boxes (B, MAX_GT, 8) f32 zero-padded.
 
 MAX_GT is a fixed pad (bucketed) so the jitted train step compiles once.
+
+Async input (reference: torch DataLoader num_workers=4 +
+DistributedSampler, pcdet/datasets/__init__.py build_dataloader): with
+`num_workers > 0` batches are built by a thread pool ahead of consumption —
+numpy releases the GIL in the hot augmentation/sampling ops, so threads
+overlap both with each other and with the device step. `prefetch_to_device`
+additionally starts the host→device transfer (async under jit dispatch) one
+batch ahead. With workers > 0 the order of global-RNG augmentation draws
+depends on thread scheduling (the reference's worker processes have
+per-worker RNG streams — equally not seed-stable across worker counts);
+`--fix_random_seed` therefore forces the synchronous path.
 """
 from __future__ import annotations
+
+import collections
+import concurrent.futures as cf
 
 import numpy as np
 
@@ -35,14 +49,13 @@ def collate_batch(samples: list[dict], max_gt: int = MAX_GT_DEFAULT) -> dict:
 
 
 class DataLoader:
-    """Single-process loader with deterministic epoch shuffling.
-
-    (The reference uses torch multiprocessing workers; this host has one
-    core in CI — a native prefetch pipeline is a planned upgrade.)
-    """
+    """Epoch loader with deterministic shuffling and optional threaded
+    batch prefetch (`num_workers` builder threads, up to
+    `num_workers * prefetch_factor` batches in flight, yielded in order)."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool, max_gt: int = MAX_GT_DEFAULT,
-                 drop_last: bool = True, seed: int = 0):
+                 drop_last: bool = True, seed: int = 0, num_workers: int = 0,
+                 prefetch_factor: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -50,6 +63,8 @@ class DataLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.epoch = 0
+        self.num_workers = num_workers
+        self.prefetch_factor = prefetch_factor
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -60,25 +75,72 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self):
+    def _batch_indices(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self.epoch)
             rng.shuffle(order)
         for start in range(0, len(order), self.batch_size):
             idx = order[start : start + self.batch_size]
-            if self.drop_last and len(idx) < self.batch_size:
-                return
-            if not self.drop_last and len(idx) < self.batch_size:
+            if len(idx) < self.batch_size:
+                if self.drop_last:
+                    return
                 # pad the tail batch by wrapping (keeps static shapes); the
                 # eval loop de-dupes by frame_id
                 idx = np.concatenate([idx, order[: self.batch_size - len(idx)]])
-            yield collate_batch([self.dataset[int(i)] for i in idx], self.max_gt)
+            yield idx
+
+    def _build(self, idx):
+        return collate_batch([self.dataset[int(i)] for i in idx], self.max_gt)
+
+    def __iter__(self):
+        if self.num_workers <= 0:
+            for idx in self._batch_indices():
+                yield self._build(idx)
+            return
+        depth = max(2, self.num_workers * self.prefetch_factor)
+        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            pending: collections.deque = collections.deque()
+            it = self._batch_indices()
+            try:
+                for idx in it:
+                    pending.append(pool.submit(self._build, idx))
+                    if len(pending) >= depth:
+                        yield pending.popleft().result()
+                while pending:
+                    yield pending.popleft().result()
+            finally:
+                for f in pending:
+                    f.cancel()
+
+
+def prefetch_to_device(loader, mesh=None, size: int = 2):
+    """Yield batches with device transfer started `size` batches ahead.
+
+    jax.device_put is asynchronous: issuing it early overlaps the host→HBM
+    copy (and the worker-thread batch build behind it) with the running
+    step. Array entries get batch-dim sharding over `mesh` when given.
+    """
+    from ..parallel.mesh import shard_batch
+
+    def _put(batch):
+        if mesh is not None:
+            return shard_batch(mesh, batch)
+        return batch
+
+    queue: collections.deque = collections.deque()
+    it = iter(loader)
+    for batch in it:
+        queue.append(_put(batch))
+        if len(queue) > size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
 
 
 def build_dataloader(dataset_cfg, class_names, batch_size, root_path=None, training=True,
                      logger=None, total_epochs=1, merge_all_iters_to_one_epoch=False,
-                     max_gt: int = MAX_GT_DEFAULT, seed: int = 0):
+                     max_gt: int = MAX_GT_DEFAULT, seed: int = 0, num_workers: int = 0):
     name = dataset_cfg.get("DATASET", "KittiDataset") \
         if hasattr(dataset_cfg, "get") else "KittiDataset"
     if name == "NuScenesDataset":
@@ -95,5 +157,5 @@ def build_dataloader(dataset_cfg, class_names, batch_size, root_path=None, train
     if merge_all_iters_to_one_epoch:
         dataset.merge_all_iters_to_one_epoch(True, total_epochs)
     loader = DataLoader(dataset, batch_size, shuffle=training, max_gt=max_gt,
-                        drop_last=training, seed=seed)
+                        drop_last=training, seed=seed, num_workers=num_workers)
     return dataset, loader

@@ -179,25 +179,18 @@ class WaymoDataset:
             for info in self.infos
         ]
         metric = self.dataset_cfg.get("EVAL_METRIC", "kitti")
-        if metric == "waymo":
-            try:
-                return self._waymo_official_eval(det_annos, gt_annos, class_names)
-            except ImportError:
-                pass  # fall through to the SDK-free path
+        if metric == "waymo" and self.logger:
+            # Capability delta vs the reference (waymo_eval.py tf.compat.v1
+            # detection-metrics binding): the official LET/AP evaluator is not
+            # wired here; the kitti-style lidar-frame AP below is always used.
+            # Documented in docs/MODEL_ZOO.md.
+            self.logger.warning(
+                "EVAL_METRIC=waymo: official Waymo detection metrics are not "
+                "implemented; reporting kitti-style lidar-frame AP instead"
+            )
         from ..eval.kitti_eval import ap_from_lidar_annos
 
         return ap_from_lidar_annos(gt_annos, det_annos, class_names)
-
-    def _waymo_official_eval(self, det_annos, gt_annos, class_names):
-        import tensorflow  # noqa: F401  (gates the SDK path)
-        from waymo_open_dataset.metrics.python import (  # noqa: F401
-            detection_metrics,
-        )
-
-        raise NotImplementedError(
-            "official Waymo metrics need the waymo_open_dataset graph "
-            "evaluator; run with EVAL_METRIC=kitti on hosts without it"
-        )
 
     def create_groundtruth_database(self, info_path=None, used_classes=None,
                                     split="train", sampled_interval=10):
@@ -271,13 +264,27 @@ def process_single_sequence(sequence_file, save_path, sampled_interval=1,
         frame = dataset_pb2.Frame()
         frame.ParseFromString(bytearray(data.numpy()))
         ri, cp, _, ri_pose = frame_utils.parse_range_image_and_camera_projection(frame)
+        # keep_polar_features → rows [range, intensity, elongation, x, y, z]
+        # (first return only), matching the reference's real feature extraction
+        # (waymo_utils.save_lidar_points channels 1/2); the NLZ flag is range
+        # image channel 3, gathered under the same range>0 mask and laser
+        # order (sorted by name) frame_utils uses internally.
         points, cp_points = frame_utils.convert_range_image_to_point_cloud(
-            frame, ri, cp, ri_pose
+            frame, ri, cp, ri_pose, keep_polar_features=True
         )
-        pts = np.concatenate(points, axis=0).astype(np.float32)
+        polar = np.concatenate(points, axis=0).astype(np.float32)
+        pts, intensity, elongation = polar[:, 3:6], polar[:, 1], polar[:, 2]
+        nlz_parts = []
+        for calib in sorted(frame.context.laser_calibrations, key=lambda c: c.name):
+            ri0 = ri[calib.name][0]
+            ri_np = np.asarray(
+                tf.reshape(tf.convert_to_tensor(ri0.data), ri0.shape.dims)
+            )
+            nlz_parts.append(ri_np[..., 3][ri_np[..., 0] > 0])
+        nlz = np.concatenate(nlz_parts).astype(np.float32)
+        assert nlz.shape[0] == pts.shape[0], (nlz.shape, pts.shape)
         feats = np.concatenate(
-            [pts, np.zeros((pts.shape[0], 2), np.float32),
-             -np.ones((pts.shape[0], 1), np.float32)], axis=1
+            [pts, intensity[:, None], elongation[:, None], nlz[:, None]], axis=1
         )
         np.save(out_dir / f"{cnt:04d}.npy", feats)
         info = {

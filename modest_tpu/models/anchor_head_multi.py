@@ -136,7 +136,16 @@ class AnchorHeadMulti(nn.Module):
         from ..utils.config import Config
 
         cfg = Config(self.model_cfg)
-        self.shared_ch = int(cfg.get("SHARED_CONV_NUM_FILTER", 64))
+        # Multi-class AnchorHeadSingle configs route through this head only
+        # for the per-class thresholds / class-major anchor ordering; the
+        # reference AnchorHeadSingle has NO shared conv (1x1 heads directly on
+        # the BEV features), so only insert one when the config is a real
+        # AnchorHeadMulti or explicitly sets SHARED_CONV_NUM_FILTER.
+        shared = cfg.get("SHARED_CONV_NUM_FILTER", None)
+        self.use_shared_conv = (
+            shared is not None or cfg.get("NAME", "AnchorHeadMulti") != "AnchorHeadSingle"
+        )
+        self.shared_ch = int(shared) if shared is not None else 64
         groups = [tuple(h.HEAD_CLS_NAME) for h in cfg.RPN_HEAD_CFGS] \
             if cfg.get("RPN_HEAD_CFGS") else [tuple(self.class_names)]
         self.head_groups = groups
@@ -160,9 +169,10 @@ class AnchorHeadMulti(nn.Module):
         self._unmatched = jnp.asarray(uthr)
         self._head_counts = counts
 
-        self.shared_conv = nn.Conv(self.shared_ch, (3, 3), padding=1,
-                                   use_bias=False)
-        self.shared_bn = nn.BatchNorm(momentum=0.99, epsilon=1e-3)
+        if self.use_shared_conv:
+            self.shared_conv = nn.Conv(self.shared_ch, (3, 3), padding=1,
+                                       use_bias=False)
+            self.shared_bn = nn.BatchNorm(momentum=0.99, epsilon=1e-3)
         heads = []
         for group in groups:
             na = sum(self._rots[n] for n in group)
@@ -182,8 +192,10 @@ class AnchorHeadMulti(nn.Module):
 
         cfg = Config(self.model_cfg)
         num_dir_bins = int(cfg.get("NUM_DIR_BINS", 2))
-        x = nn.relu(self.shared_bn(self.shared_conv(bev),
-                                   use_running_average=not train))
+        x = bev
+        if self.use_shared_conv:
+            x = nn.relu(self.shared_bn(self.shared_conv(x),
+                                       use_running_average=not train))
         num_class = len(self.class_names)
         cls_list, box_list, dir_list = [], [], []
         for head, group in zip(self.heads, self.head_groups):

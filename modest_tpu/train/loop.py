@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..parallel.mesh import shard_batch
+from ..data.loader import prefetch_to_device
 from .checkpoint import save_checkpoint
 from .optim import current_lr
 from .state import make_eval_step, make_train_step
@@ -36,9 +36,7 @@ def train_model(model, model_cfg, optimizer, state, loader, *, mesh=None,
         t0 = time.time()
         n_it = 0
         last_metrics = {}
-        for batch in loader:
-            if mesh is not None:
-                batch = shard_batch(mesh, batch)
+        for batch in prefetch_to_device(loader, mesh, size=2):
             state, metrics = train_step(
                 state, jnp.asarray(batch["points"]), jnp.asarray(batch["gt_boxes"]), rng
             )
@@ -124,9 +122,7 @@ def eval_one_epoch(model, model_cfg, state, loader, dataset, class_names, *,
     thresh_list = list(model_cfg.POST_PROCESSING.RECALL_THRESH_LIST)
     t0 = time.time()
     n_frames = 0
-    for batch in loader:
-        if mesh is not None:
-            batch = shard_batch(mesh, batch)
+    for batch in prefetch_to_device(loader, mesh, size=2):
         final = eval_step(state, jnp.asarray(batch["points"]))
         final = jax.device_get(final)
         preds = _trim_predictions(final, batch)

@@ -29,10 +29,12 @@ def _write_calib(path):
         f.write("Tr_velo_to_cam: " + " ".join(map(str, V2C.reshape(-1))) + "\n")
 
 
-def make_dataset(root, n_train=4, n_val=2, seed=0, ground_z=-1.8):
+def make_dataset(root, n_train=4, n_val=2, seed=0, ground_z=-1.8,
+                 n_ground=4000, n_obj=300):
     """Creates root/training/{velodyne,calib,label_2,image_2,planes} +
     ImageSets. Each frame: ground plane + 1-2 'Dynamic' cars ahead of the
-    camera (lidar +x), labels written in camera coords."""
+    camera (lidar +x), labels written in camera coords. n_ground/n_obj set
+    the cloud density (raise for realistic loader-cost benchmarks)."""
     rng = np.random.RandomState(seed)
     root = str(root)
     for sub in ["velodyne", "calib", "label_2", "image_2", "planes"]:
@@ -45,8 +47,8 @@ def make_dataset(root, n_train=4, n_val=2, seed=0, ground_z=-1.8):
         boxes = []
         pts = [
             np.stack(
-                [rng.uniform(2, 80, 4000), rng.uniform(-30, 30, 4000),
-                 np.full(4000, ground_z) + rng.randn(4000) * 0.02], 1
+                [rng.uniform(2, 80, n_ground), rng.uniform(-30, 30, n_ground),
+                 np.full(n_ground, ground_z) + rng.randn(n_ground) * 0.02], 1
             )
         ]
         for _ in range(n_cars):
@@ -56,7 +58,7 @@ def make_dataset(root, n_train=4, n_val=2, seed=0, ground_z=-1.8):
             ry = rng.uniform(-np.pi, np.pi)
             cz = ground_z + h / 2
             box = np.array([cx, cy, cz, l, w, h, ry])
-            local = rng.uniform(-0.5, 0.5, (300, 3)) * [l, w, h]
+            local = rng.uniform(-0.5, 0.5, (n_obj, 3)) * [l, w, h]
             c, s = np.cos(ry), np.sin(ry)
             rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
             pts.append(local @ rot.T + box[:3])
