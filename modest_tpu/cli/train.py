@@ -62,6 +62,15 @@ def parse_config(argv=None):
     parser.add_argument("--max_ckpt_save_num", type=int, default=30)
     parser.add_argument("--merge_all_iters_to_one_epoch", action="store_true")
     parser.add_argument("--num_devices", type=int, default=None)
+    parser.add_argument("--launcher", choices=["none", "slurm", "manual"],
+                        default="none",
+                        help="multi-process init (reference train.py "
+                             "--launcher): slurm reads SLURM_* env; manual "
+                             "reads --coordinator/--num_processes/--process_id")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="host:port of process 0 (launcher=manual)")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     parser.add_argument("--max_gt", type=int, default=64)
     parser.add_argument("--data_path", type=str, default=None,
                         help="override DATA_CONFIG.DATA_PATH")
@@ -87,6 +96,13 @@ def main(argv=None):
     if args.fix_random_seed:
         np.random.seed(666)
         args.workers = 0
+
+    if args.launcher != "none":
+        from ..parallel.multihost import init_multihost
+
+        init_multihost(coordinator_address=args.coordinator,
+                       num_processes=args.num_processes,
+                       process_id=args.process_id)
 
     out_root = Path(args.output_dir) if args.output_dir else Path("output") / cfg.TAG / args.extra_tag
     ckpt_dir = out_root / "ckpt"

@@ -55,7 +55,7 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool, max_gt: int = MAX_GT_DEFAULT,
                  drop_last: bool = True, seed: int = 0, num_workers: int = 0,
-                 prefetch_factor: int = 2):
+                 prefetch_factor: int = 2, process_shard: tuple | None = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -65,12 +65,23 @@ class DataLoader:
         self.epoch = 0
         self.num_workers = num_workers
         self.prefetch_factor = prefetch_factor
+        # (process_id, num_processes): every process shuffles the SAME global
+        # order (shared seed) then keeps its interleaved slice — the
+        # DistributedSampler contract; batch_size is the per-process batch
+        self.process_shard = process_shard
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
-    def __len__(self):
+    def _local_count(self):
         n = len(self.dataset)
+        if self.process_shard is not None:
+            pid, nproc = self.process_shard
+            n = len(range(pid, n, nproc))
+        return n
+
+    def __len__(self):
+        n = self._local_count()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -80,6 +91,9 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self.epoch)
             rng.shuffle(order)
+        if self.process_shard is not None:
+            pid, nproc = self.process_shard
+            order = order[pid::nproc]
         for start in range(0, len(order), self.batch_size):
             idx = order[start : start + self.batch_size]
             if len(idx) < self.batch_size:
@@ -156,6 +170,16 @@ def build_dataloader(dataset_cfg, class_names, batch_size, root_path=None, train
     )
     if merge_all_iters_to_one_epoch:
         dataset.merge_all_iters_to_one_epoch(True, total_epochs)
+    process_shard = None
+    try:
+        import jax
+
+        if jax.process_count() > 1:
+            process_shard = (jax.process_index(), jax.process_count())
+            batch_size = max(1, batch_size // jax.process_count())
+    except Exception:
+        pass
     loader = DataLoader(dataset, batch_size, shuffle=training, max_gt=max_gt,
-                        drop_last=training, seed=seed, num_workers=num_workers)
+                        drop_last=training, seed=seed, num_workers=num_workers,
+                        process_shard=process_shard)
     return dataset, loader

@@ -8,12 +8,24 @@ import jax
 import jax.numpy as jnp
 
 
+def _mlp_compute_dtype():
+    """bf16 matmuls on the TPU fast path (params stay f32; the MXU
+    accumulates in f32 and BatchNorm runs on f32 inputs). CPU (oracle
+    tests) and exact mode (MODEST_EXACT_OPS) keep f32 end-to-end."""
+    from ..ops.pointnet2 import exact_ops
+
+    if jax.default_backend() == "cpu" or exact_ops():
+        return jnp.float32
+    return jnp.bfloat16
+
+
 class SharedMLP(nn.Module):
     """Stack of [Dense(no bias) → BatchNorm → ReLU] applied to the last axis.
 
     Equivalent to the reference's 1x1 Conv2d+BN2d+ReLU stacks — a 1x1 conv
     over (B, C, npoint, nsample) is a Dense over channel-last layout, and it
-    lands on the MXU as one big matmul.
+    lands on the MXU as one big matmul (bf16 on TPU, f32 accum — the
+    reference trains these nets under fp16 AMP).
     """
 
     channels: Sequence[int]
@@ -21,8 +33,10 @@ class SharedMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dt = _mlp_compute_dtype()
         for c in self.channels:
-            x = nn.Dense(c, use_bias=not self.use_bn, dtype=jnp.float32)(x)
+            x = nn.Dense(c, use_bias=not self.use_bn, dtype=dt)(x)
+            x = x.astype(jnp.float32)
             if self.use_bn:
                 x = nn.BatchNorm(
                     use_running_average=not train, momentum=0.9, epsilon=1e-5

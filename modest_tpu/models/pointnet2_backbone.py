@@ -30,13 +30,19 @@ class SAModuleMSG(nn.Module):
         fps_idx = p2.furthest_point_sample(xyz, self.npoint)
         new_xyz = p2.gather_points(xyz, fps_idx)
         d2 = p2.pairwise_dist2(new_xyz, xyz)  # shared across scales
-        # one nearest-k shared by every scale: each radius slices its prefix
-        top_d2, top_idx = p2.nearest_topk(d2, max(self.nsamples))
+        if not p2.exact_ops():
+            # one nearest-k shared by every scale; each radius slices its prefix
+            top_d2, top_idx = p2.nearest_topk(d2, max(self.nsamples))
 
         outs = []
         for radius, nsample, mlp in zip(self.radii, self.nsamples, self.mlps):
-            grouped = p2.nearest_group(xyz, new_xyz, features, top_d2, top_idx,
-                                       radius, nsample)
+            if p2.exact_ops():
+                # reference CUDA semantics: first nsample in-radius by index
+                grouped = p2.query_and_group(xyz, new_xyz, features, d2,
+                                             radius, nsample)
+            else:
+                grouped = p2.nearest_group(xyz, new_xyz, features, top_d2,
+                                           top_idx, radius, nsample)
             feat = SharedMLP(tuple(mlp))(grouped, train=train)  # (B, np, ns, C)
             outs.append(feat.max(axis=2))
         return new_xyz, jnp.concatenate(outs, axis=-1)
@@ -59,9 +65,13 @@ class SAModule(nn.Module):
             fps_idx = p2.furthest_point_sample(xyz, self.npoint)
             new_xyz = p2.gather_points(xyz, fps_idx)
             d2 = p2.pairwise_dist2(new_xyz, xyz)
-            top_d2, top_idx = p2.nearest_topk(d2, self.nsample)
-            grouped = p2.nearest_group(xyz, new_xyz, features, top_d2, top_idx,
-                                       self.radius, self.nsample)
+            if p2.exact_ops():
+                grouped = p2.query_and_group(xyz, new_xyz, features, d2,
+                                             self.radius, self.nsample)
+            else:
+                top_d2, top_idx = p2.nearest_topk(d2, self.nsample)
+                grouped = p2.nearest_group(xyz, new_xyz, features, top_d2,
+                                           top_idx, self.radius, self.nsample)
         feat = SharedMLP(tuple(self.mlp))(grouped, train=train)
         return new_xyz, feat.max(axis=2)
 

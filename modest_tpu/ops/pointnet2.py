@@ -18,11 +18,35 @@ MXU (precision=HIGHEST); results are clamped at 0.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 
 _DOT_KW = dict(precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32)
+
+# --------------------------------------------------------------------------
+# exact-vs-approx gate (VERDICT r1 item 3). The TPU fast path uses
+# approx_max_k (0.95 recall), nearest-k MSG grouping and bf16 feature
+# gathers; exact mode forces lax.top_k, first-by-index grouping and f32
+# gathers end-to-end — the reference CUDA semantics
+# (ball_query_gpu.cu / group_points_gpu.cu) — as the escape hatch for
+# AP-parity debugging. Enable via MODEST_EXACT_OPS=1 or set_exact_ops(True).
+# --------------------------------------------------------------------------
+
+_EXACT_OPS = os.environ.get("MODEST_EXACT_OPS", "0").lower() not in ("0", "", "false")
+
+
+def exact_ops() -> bool:
+    return _EXACT_OPS
+
+
+def set_exact_ops(flag: bool) -> None:
+    """Toggle exact reference semantics; drops jit caches so already-traced
+    functions retrace with the new mode."""
+    global _EXACT_OPS
+    _EXACT_OPS = bool(flag)
+    jax.clear_caches()
 
 
 def _fast_top_k(x, k: int):
@@ -31,9 +55,9 @@ def _fast_top_k(x, k: int):
     Ball query / roi pooling only need *some* k in-criterion points (the
     reference's first-by-index choice is itself arbitrary), so the ~0.95
     recall of approx_max_k does not change model semantics meaningfully.
-    CPU (tests) keeps the exact, reference-ordered behavior.
+    CPU (tests) and exact mode keep the exact, reference-ordered behavior.
     """
-    if jax.default_backend() == "cpu" or k >= x.shape[-1]:
+    if jax.default_backend() == "cpu" or _EXACT_OPS or k >= x.shape[-1]:
         return jax.lax.top_k(x, k)
     return jax.lax.approx_max_k(x, k, recall_target=0.95)
 
@@ -132,7 +156,7 @@ def _gather_feats_hbm(features, flat):
     TPU row gathers run at ~30 GB/s effective while the (M, S) x (S, C)
     one-hot contraction is ~5x faster at these shapes and bit-identical
     (one-hot bf16 x bf16 with f32 accumulation selects exactly one row)."""
-    if jax.default_backend() == "cpu" or features.dtype != jnp.float32:
+    if jax.default_backend() == "cpu" or _EXACT_OPS or features.dtype != jnp.float32:
         return gather_points(features, flat)
     b, s, c = features.shape
     m = flat.shape[1]
@@ -283,7 +307,7 @@ def roipoint_pool3d(points, point_features, boxes3d, num_sampled_points: int = 5
         slot = jnp.arange(num_sampled_points, dtype=jnp.int32)
         src = jnp.where(cnt > 0, slot % jnp.maximum(cnt, 1), 0)
         sel = top_idx[src]
-        if jax.default_backend() == "cpu" or feats.dtype != jnp.float32:
+        if jax.default_backend() == "cpu" or _EXACT_OPS or feats.dtype != jnp.float32:
             fsel = feats[sel]
         else:  # activations at half width on the HBM-bound gather (coords f32)
             fsel = feats.astype(jnp.bfloat16)[sel].astype(jnp.float32)
@@ -302,7 +326,7 @@ def nearest_topk(d2, k: int):
     trick in ball_query_from_dist2 writes a second (…, N) array before its
     top_k; at backbone scale that is an extra GB of HBM traffic per level).
     """
-    if jax.default_backend() == "cpu" or k >= d2.shape[-1]:
+    if jax.default_backend() == "cpu" or _EXACT_OPS or k >= d2.shape[-1]:
         neg, idx = jax.lax.top_k(-d2, min(k, d2.shape[-1]))
     else:
         neg, idx = jax.lax.approx_max_k(-d2, k, recall_target=0.95)

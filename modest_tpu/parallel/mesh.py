@@ -31,12 +31,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: dict, axis_name: str = "data") -> dict:
-    """device_put array entries of a host batch with batch-dim sharding."""
+    """device_put array entries of a host batch with batch-dim sharding.
+
+    Multi-process: each process holds only ITS slice of the global batch
+    (the loader's process_shard); jax.make_array_from_process_local_data
+    assembles the global sharded array across hosts.
+    """
     sharding = batch_sharding(mesh, axis_name)
+    multiproc = jax.process_count() > 1
+    n_local = len(mesh.local_devices) if multiproc else mesh.size
     out = {}
     for k, v in batch.items():
-        if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] % mesh.size == 0:
-            out[k] = jax.device_put(v, sharding)
+        if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] % max(n_local, 1) == 0:
+            if multiproc:
+                out[k] = jax.make_array_from_process_local_data(sharding, v)
+            else:
+                out[k] = jax.device_put(v, sharding)
         else:
             out[k] = v
     return out

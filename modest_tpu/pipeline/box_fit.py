@@ -96,7 +96,9 @@ def minimum_bounding_rectangle(cluster_ptc: np.ndarray):
     from scipy.spatial import ConvexHull
 
     hull = cluster_ptc[ConvexHull(cluster_ptc).vertices]
-    edges = np.diff(np.vstack([hull, hull[:1]]), axis=0)
+    # the reference scans consecutive hull edges only (no closing edge,
+    # pointcloud_utils.py:104-105) — follow it exactly for label parity
+    edges = np.diff(hull, axis=0)
     angles = np.unique(np.abs(np.mod(np.arctan2(edges[:, 1], edges[:, 0]), np.pi / 2)))
     u, v = _proj(hull, angles)
     areas = (u.max(1) - u.min(1)) * (v.max(1) - v.min(1))

@@ -4,6 +4,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from modest_tpu.utils.config import Config
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_lid_discretization_roundtrip():

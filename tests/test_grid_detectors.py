@@ -10,6 +10,8 @@ from modest_tpu.models import voxelize as vx
 from modest_tpu.models.box_coders import ResidualCoder
 from modest_tpu.utils.config import Config
 
+pytestmark = pytest.mark.slow
+
 
 def test_point_voxel_coords():
     pts = jnp.array([[0.05, -39.0, -2.0, 0.5], [100.0, 0.0, 0.0, 0.1], [1.0, 0.0, 0.0, 0.2]])

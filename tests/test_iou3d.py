@@ -7,6 +7,8 @@ import jax.numpy as jnp  # noqa: E402
 
 from modest_tpu.ops import iou3d  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 
 def mc_overlap(box_a, box_b, n=200_000, seed=0):
     """Monte-Carlo BEV intersection area oracle (independent of the impl)."""

@@ -2,6 +2,9 @@
 import numpy as np
 
 from modest_tpu.eval import kitti_eval
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def make_anno(locs, dims, rys, names=None, scores=None, depth_axis=2):

@@ -44,6 +44,7 @@ def test_points_in_boxes_matches_numpy(rng):
     assert (got == want).mean() > 0.999
 
 
+@pytest.mark.slow
 def test_bev_iou_matches_jax(rng):
     import jax.numpy as jnp
 

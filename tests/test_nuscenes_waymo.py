@@ -6,6 +6,8 @@ import pytest
 
 from modest_tpu.utils.config import Config
 
+pytestmark = pytest.mark.slow
+
 
 # ---------------------------------------------------------------------------
 # synthetic data trees

@@ -9,6 +9,9 @@ from modest_tpu.models.pointrcnn import PointRCNN, pointrcnn_loss, post_process
 from modest_tpu.ops.iou3d import boxes_iou_bev
 
 from test_pointrcnn_model import tiny_model_cfg
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_overfit_single_scene():

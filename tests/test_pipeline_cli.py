@@ -15,6 +15,8 @@ from modest_tpu.cli import (
 )
 from modest_tpu.utils import kitti_io
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def synth_dataset(tmp_path_factory):

@@ -7,6 +7,8 @@ import pytest
 from modest_tpu.models.pointrcnn import PointRCNN, pointrcnn_loss, post_process
 from modest_tpu.utils.config import Config
 
+pytestmark = pytest.mark.slow
+
 
 def tiny_model_cfg():
     return Config(

@@ -20,6 +20,8 @@ from modest_tpu.utils.config import Config, cfg_from_yaml_file
 from synth_kitti import IMG_SHAPE, write_png
 from test_pointrcnn_model import tiny_model_cfg
 
+pytestmark = pytest.mark.slow
+
 
 N_FRAMES = 3  # origin frames (one per traversal pass over the same spot)
 

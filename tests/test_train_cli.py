@@ -10,6 +10,8 @@ from modest_tpu.utils.config import Config, cfg_from_yaml_file
 from synth_kitti import make_dataset
 from test_pointrcnn_model import tiny_model_cfg
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def synth_env(tmp_path_factory):
