@@ -41,12 +41,11 @@ def main(argv=None):
         if not osp.exists(osp.join(bbox_dst, "configs.yaml")):
             save_config(cfg, osp.join(bbox_dst, "configs.yaml"))
 
-    for idx in tqdm(idx_list):
-        idx = int(idx)
+    def process(idx: int):
         seg_out = osp.join(cfg.data_paths.seg_save_dst, f"{idx:06d}.npy")
         bbox_out = osp.join(bbox_dst, f"{idx:06d}.pkl") if bbox_dst else None
         if osp.exists(seg_out) and (bbox_out is None or osp.exists(bbox_out)):
-            continue
+            return
         ptc = kitti_io.load_velo_scan(osp.join(cfg.ptc_path, f"{idx:06d}.bin"))
         pp_score = np.load(osp.join(cfg.data_paths.pp_score_path, f"{idx:06d}.npy"))
         calib = kitti_io.Calibration(osp.join(cfg.calib_path, f"{idx:06d}.txt"))
@@ -57,6 +56,32 @@ def main(argv=None):
             with open(bbox_out, "wb") as f:
                 pickle.dump(objs, f)
         np.save(seg_out, labels)
+
+    # software pipeline: K frames in flight so one frame's host stages (IO,
+    # masks, percentiles, label compaction) overlap another's device work
+    # and the relay round-trip latency (frames are independent; each thread
+    # blocks only on its own frame's results). workers=1 → reference-style
+    # strictly sequential loop.
+    workers = int(cfg.get("pipeline_workers", 3))
+    if workers <= 1:
+        for idx in tqdm(idx_list):
+            process(int(idx))
+    else:
+        import collections
+        import concurrent.futures as cf
+
+        with cf.ThreadPoolExecutor(workers) as pool:
+            pending = collections.deque()
+            bar = tqdm(total=len(idx_list))
+            for idx in idx_list:
+                pending.append(pool.submit(process, int(idx)))
+                if len(pending) >= workers * 2:
+                    pending.popleft().result()
+                    bar.update(1)
+            while pending:
+                pending.popleft().result()
+                bar.update(1)
+            bar.close()
 
 
 if __name__ == "__main__":

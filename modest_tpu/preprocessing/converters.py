@@ -160,7 +160,7 @@ def kitti_label_line(name, box7, bbox_2d, truncation, occlusion, alpha) -> str:
     return (
         f"{name} {truncation:.2f} {int(occlusion):d} {alpha:.2f} "
         f"{bbox_2d[0]:.2f} {bbox_2d[1]:.2f} {bbox_2d[2]:.2f} {bbox_2d[3]:.2f} "
-        f"{h:.2} {w:.2f} {l:.2f} {x:.2f} {y:.2f} {z:.2f} {ry:.2f}"
+        f"{h:.2f} {w:.2f} {l:.2f} {x:.2f} {y:.2f} {z:.2f} {ry:.2f}"
     )
 
 
@@ -180,22 +180,32 @@ def write_kitti_calib(path, P2, velo_to_cam_kitti, imu_to_velo=None):
 
 
 class LyftToKittiConverter:
-    """Drives the full Lyft → KITTI export. Requires lyft_dataset_sdk."""
+    """Drives the full Lyft → KITTI export.
+
+    Uses lyft_dataset_sdk when installed; otherwise falls back to the
+    SDK-free table reader (`nu_tables.NuTables`) — the Lyft release is
+    nuScenes-schema JSON, so both paths read the same files.
+    """
 
     def __init__(self, store_dir, lyft_dataroot, table_folder,
-                 lidar_name="LIDAR_TOP", idx_offset=0, sample_token_list=None):
-        try:
-            from lyft_dataset_sdk.lyftdataset import LyftDataset  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                "lyft_dataset_sdk is required for the Lyft converter; the "
-                "SDK-free math lives in modest_tpu.preprocessing.converters"
-            ) from e
-        from lyft_dataset_sdk.lyftdataset import LyftDataset
-
+                 lidar_name="LIDAR_TOP", idx_offset=0, sample_token_list=None,
+                 use_sdk="auto"):
+        if use_sdk == "auto":
+            try:
+                from lyft_dataset_sdk.lyftdataset import LyftDataset  # noqa: F401
+                use_sdk = True
+            except ImportError:
+                use_sdk = False
         self.store_dir = Path(store_dir) / "training"
         self.idx_offset = idx_offset
-        self.lyft_ds = LyftDataset(lyft_dataroot, table_folder)
+        if use_sdk:
+            from lyft_dataset_sdk.lyftdataset import LyftDataset
+
+            self.lyft_ds = LyftDataset(lyft_dataroot, table_folder)
+        else:
+            from .nu_tables import NuTables
+
+            self.lyft_ds = NuTables(lyft_dataroot, table_folder)
         self.lidar_name = lidar_name
         self.sample_token_list = sample_token_list
         for sub in ["label_2", "label_2_full_range", "calib", "image_2",
@@ -208,7 +218,7 @@ class LyftToKittiConverter:
             self.process_token(token, i + self.idx_offset, convert_labels)
 
     def process_token(self, sample_token, index, convert_labels=True):
-        from lyft_dataset_sdk.utils.data_classes import LidarPointCloud
+        from .nu_tables import load_lidar
 
         ds = self.lyft_ds
         sample = ds.get("sample", sample_token)
@@ -251,11 +261,12 @@ class LyftToKittiConverter:
         if not dst_im.exists():
             Image.open(src_im).save(dst_im, "PNG")
 
-        # lidar: rotate nu → KITTI frame
-        pcl = LidarPointCloud.from_file(Path(ds.data_path) / sd_lid["filename"])
+        # lidar: rotate nu → KITTI frame (devkit LidarPointCloud.from_file
+        # reads 5 float32s/pt and keeps x, y, z, intensity)
+        pts = load_lidar(Path(ds.data_path) / sd_lid["filename"], 5)[:, :4]
         rot = quat_to_matrix([np.cos(np.pi / 2), 0, 0, -np.sin(np.pi / 2)])
-        pcl.rotate(rot)
-        pcl.points.T.astype(np.float32).tofile(self.store_dir / "velodyne" / f"{name}.bin")
+        pts[:, :3] = pts[:, :3] @ rot.T
+        pts.astype(np.float32).tofile(self.store_dir / "velodyne" / f"{name}.bin")
 
         if not convert_labels:
             return
@@ -305,24 +316,30 @@ class NuscToKittiConverter:
       * annotated: the 2 Hz keyframe samples (with labels);
       * full-rate: every LiDAR sweep (~20 Hz), camera frames matched by
         closest timestamp — the multi-traversal PP-score source.
-    Requires the nuscenes devkit.
+    Uses the nuscenes devkit when installed; otherwise the SDK-free
+    table reader (`nu_tables.NuTables`).
     """
 
     KITTI2NU_YAW = np.pi / 2  # nuScenes lidar is KITTI rotated by +90°
 
     def __init__(self, store_dir, nusc_dir, version="v1.0-trainval",
                  lidar_name="LIDAR_TOP", cam_name="CAM_FRONT",
-                 scene_tokens=None, convert_labels=True, convert_images=True):
-        try:
+                 scene_tokens=None, convert_labels=True, convert_images=True,
+                 use_sdk="auto"):
+        if use_sdk == "auto":
+            try:
+                from nuscenes.nuscenes import NuScenes  # noqa: F401
+                use_sdk = True
+            except ImportError:
+                use_sdk = False
+        if use_sdk:
             from nuscenes.nuscenes import NuScenes
-        except ImportError as e:
-            raise ImportError(
-                "the nuscenes devkit is required for the nuScenes converter; "
-                "the SDK-free math lives in modest_tpu.preprocessing.converters"
-            ) from e
-        from nuscenes.nuscenes import NuScenes
 
-        self.nusc = NuScenes(version=version, dataroot=nusc_dir)
+            self.nusc = NuScenes(version=version, dataroot=nusc_dir)
+        else:
+            from .nu_tables import NuTables
+
+            self.nusc = NuTables(nusc_dir, Path(nusc_dir) / version)
         self.store_dir = Path(store_dir) / "training"
         self.lidar_name = lidar_name
         self.cam_name = cam_name

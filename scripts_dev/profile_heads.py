@@ -112,7 +112,7 @@ def pool(xyz, feats, scores_pp, rois, roi_valid):
 timeit("pool_roi_features (512 pts x 100 rois)", pool, xyz, feats, scores_pp,
        rois, roi_valid)
 
-pooled = jnp.asarray(rngn.randn(BATCH, 100, 512, 133).astype(np.float32))
+pooled = jnp.asarray(rngn.randn(BATCH * 100, 512, 133).astype(np.float32))
 
 
 @jax.jit
