@@ -132,6 +132,25 @@ def bench_seed_gen(rng, frames=3):
         "detail": f"{clouds[0][0].shape[0]} pts/frame, {n_boxes} seed boxes total",
     }))
 
+    # pipelined variant — the cli/generate_mask.py thread pool: each
+    # frame's host stages (masks, percentiles, label compaction) overlap
+    # other frames' device dispatches + relay round trips
+    import concurrent.futures as cf
+
+    many = clouds * ((2 * frames + len(clouds) - 1) // len(clouds))
+    with cf.ThreadPoolExecutor(3) as pool:
+        t0 = time.perf_counter()
+        futs = [pool.submit(generate_mask_for_frame, ptc, pp, calib, cfg)
+                for ptc, pp in many]
+        boxes = sum(len(f.result()[1]) for f in futs)
+        dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "seed_label_gen_pipelined_scans_per_sec",
+        "value": round(len(many) / dt, 3),
+        "unit": "scans/s",
+        "detail": f"3 worker threads, {len(many)} frames, {boxes} seed boxes",
+    }))
+
 
 def main():
     from modest_tpu.utils.jax_cache import enable_compilation_cache

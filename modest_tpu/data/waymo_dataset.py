@@ -169,25 +169,33 @@ class WaymoDataset:
         return annos
 
     def evaluation(self, det_annos, class_names, **kwargs):
-        """'waymo' metric via the official evaluator when the SDK is present;
-        'kitti'-style lidar-frame AP otherwise (reference :199-250)."""
+        """'waymo' → SDK-free AP/APH L1/L2 (eval.waymo_eval reimplements the
+        reference's TF detection-metrics binding, waymo_eval.py:85-257);
+        'kitti' → lidar-frame R40 AP (reference :199-250)."""
         if "annos" not in self.infos[0]:
             return "No ground-truth boxes for evaluation", {}
+        metric = self.dataset_cfg.get("EVAL_METRIC", "kitti")
+        if metric == "waymo":
+            from ..eval.waymo_eval import (format_waymo_results,
+                                           waymo_detection_metrics)
+
+            gt_annos = [
+                {"name": np.asarray(info["annos"]["name"]),
+                 "gt_boxes_lidar": np.asarray(info["annos"]["gt_boxes_lidar"])[:, :7],
+                 **({"num_points_in_gt":
+                     np.asarray(info["annos"]["num_points_in_gt"])}
+                    if "num_points_in_gt" in info["annos"] else {}),
+                 **({"difficulty": np.asarray(info["annos"]["difficulty"])}
+                    if "difficulty" in info["annos"] else {})}
+                for info in self.infos
+            ]
+            res = waymo_detection_metrics(det_annos, gt_annos, class_names)
+            return format_waymo_results(res), res
         gt_annos = [
             {"name": np.asarray(info["annos"]["name"]),
              "boxes_lidar": np.asarray(info["annos"]["gt_boxes_lidar"])[:, :7]}
             for info in self.infos
         ]
-        metric = self.dataset_cfg.get("EVAL_METRIC", "kitti")
-        if metric == "waymo" and self.logger:
-            # Capability delta vs the reference (waymo_eval.py tf.compat.v1
-            # detection-metrics binding): the official LET/AP evaluator is not
-            # wired here; the kitti-style lidar-frame AP below is always used.
-            # Documented in docs/MODEL_ZOO.md.
-            self.logger.warning(
-                "EVAL_METRIC=waymo: official Waymo detection metrics are not "
-                "implemented; reporting kitti-style lidar-frame AP instead"
-            )
         from ..eval.kitti_eval import ap_from_lidar_annos
 
         return ap_from_lidar_annos(gt_annos, det_annos, class_names)

@@ -137,16 +137,28 @@ def _to7(b5):
 
 
 def bev_box_overlap(boxes, qboxes, criterion=-1):
-    """(N, 5) x (K, 5) rotated overlaps, [x, z, l, w, ry] camera BEV."""
-    import jax.numpy as jnp
+    """(N, 5) x (K, 5) rotated overlaps, [x, z, l, w, ry] camera BEV.
 
-    from ..ops.iou3d import boxes_overlap_bev
+    Host C++ path by default: frame-sized overlap matrices have a new
+    (N, K) shape nearly every frame, and the fused JAX clip program costs
+    a fresh XLA compile per shape (~27 s on a 1-core CPU host) — the
+    native double-precision Sutherland–Hodgman runs in µs with no
+    compile. JAX fallback only if the library can't build."""
+    from ..utils import native
 
     n, k = boxes.shape[0], qboxes.shape[0]
     if n == 0 or k == 0:
         return np.zeros((n, k))
     a7, b7 = _to7(boxes), _to7(qboxes)
-    ov = np.asarray(boxes_overlap_bev(jnp.asarray(a7), jnp.asarray(b7)), np.float64)
+    if native.available():
+        ov = native.bev_overlap(a7, b7)
+    else:
+        import jax.numpy as jnp
+
+        from ..ops.iou3d import boxes_overlap_bev
+
+        ov = np.asarray(
+            boxes_overlap_bev(jnp.asarray(a7), jnp.asarray(b7)), np.float64)
     area_a = (boxes[:, 2] * boxes[:, 3])[:, None]
     area_b = (qboxes[:, 2] * qboxes[:, 3])[None, :]
     if criterion == -1:
@@ -518,13 +530,19 @@ def get_range_eval_result(gt_annos, dt_annos, current_classes, ranges=(0, 30, 50
 
 
 def _lidar_bev_iou_np(boxes_a, boxes_b):
-    """(N, 7) x (K, 7) lidar boxes → rotated BEV IoU (numpy in/out)."""
+    """(N, 7) x (K, 7) lidar boxes → rotated BEV IoU (numpy in/out).
+
+    Native host path to avoid per-shape XLA compiles (see bev_box_overlap)."""
+    if boxes_a.shape[0] == 0 or boxes_b.shape[0] == 0:
+        return np.zeros((boxes_a.shape[0], boxes_b.shape[0]))
+    from ..utils import native
+
+    if native.available():
+        return native.bev_iou(np.asarray(boxes_a), np.asarray(boxes_b))
     import jax.numpy as jnp
 
     from ..ops.iou3d import boxes_iou_bev
 
-    if boxes_a.shape[0] == 0 or boxes_b.shape[0] == 0:
-        return np.zeros((boxes_a.shape[0], boxes_b.shape[0]))
     return np.asarray(
         boxes_iou_bev(jnp.asarray(boxes_a, jnp.float32),
                       jnp.asarray(boxes_b, jnp.float32)), np.float64)
