@@ -237,16 +237,27 @@ def three_nn(unknown, known):
     skew the inverse-distance weights).
     """
     d2 = pairwise_dist2(unknown, known)
-    # 3-pass argmin (exact): avoids lax.top_k, which lowers to a sort on TPU
     m = d2.shape[-1]
-    col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, d2.ndim - 1)
-    idxs = []
-    cur = d2
-    for _ in range(3):
-        i = jnp.argmin(cur, axis=-1).astype(jnp.int32)
-        idxs.append(i)
-        cur = jnp.where(col == i[..., None], jnp.inf, cur)
-    idx = jnp.stack(idxs, axis=-1)
+    if jax.default_backend() == "cpu" or _EXACT_OPS or m <= 3:
+        # 3-pass argmin (exact): avoids lax.top_k, which lowers to a sort
+        # on TPU
+        col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, d2.ndim - 1)
+        idxs = []
+        cur = d2
+        for _ in range(3):
+            i = jnp.argmin(cur, axis=-1).astype(jnp.int32)
+            idxs.append(i)
+            cur = jnp.where(col == i[..., None], jnp.inf, cur)
+        idx = jnp.stack(idxs, axis=-1)
+    else:
+        # single pass over d2: the 3-pass argmin re-reads AND mask-rewrites
+        # the (B, n, m) matrix each round (~5x its footprint in HBM traffic;
+        # 805 MB at the largest FP level) — the hardware approx top-k unit
+        # reads it once. A missed true-3rd-NN only perturbs one of three
+        # inverse-distance weights (end-to-end impact bounded by the
+        # exact-vs-approx A/B harness, scripts_dev/exact_ab_check.py).
+        _, idx = jax.lax.approx_max_k(-d2, 3, recall_target=0.95)
+        idx = idx.astype(jnp.int32)
     b, n, _ = idx.shape
     nbr = gather_points(known, idx.reshape(b, -1)).reshape(b, n, 3, 3)
     exact = ((nbr - unknown[:, :, None, :]) ** 2).sum(-1)
