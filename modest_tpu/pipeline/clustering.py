@@ -120,32 +120,44 @@ def _knn_windowed(xyz_sorted, valid, k: int, row_chunk: int, w: int,
 
 @functools.partial(jax.jit, static_argnames=("min_samples",))
 def _cluster_from_knn(idx, d2, pp, valid, radius2, eps, min_samples: int):
+    # TPU cost model: the dominant op here is the (N, k) gather from the
+    # N-element label/score tables (~35 ms per 4.6M-index gather on v5e
+    # through XLA's gather). The layout below keeps it to TWO setup gathers
+    # (kth_d2 and pp packed in one complex64 pull) + one per neighbor round
+    # + one for borders; validity/core-ness of the *neighbor* ride along as
+    # sentinels (-1 kth distance, label==n) instead of extra bool gathers.
     n = idx.shape[0]
     kth_d2 = jnp.where(valid, jnp.max(jnp.where(jnp.isfinite(d2), d2, -1.0), axis=1), -1.0)
 
+    packed = jax.lax.complex(kth_d2, pp)[idx]  # one gather for two tables
     finite = jnp.isfinite(d2)
-    mutual = finite & (d2 <= kth_d2[idx] + 0.0)  # i ∈ kNN(j) test
+    mutual = finite & (d2 <= jnp.real(packed))  # i ∈ kNN(j); pad j ⇒ -1 ⇒ false
     within_r = finite & (d2 <= radius2)
-    pp_ok = jnp.abs(pp[:, None] - pp[idx]) <= eps
-    edge = mutual & within_r & pp_ok & valid[:, None] & valid[idx]
+    pp_ok = jnp.abs(pp[:, None] - jnp.imag(packed)) <= eps
+    edge = mutual & within_r & pp_ok  # pad rows self-exclude: d2 > r² there
 
     degree = edge.sum(axis=1)
     core = valid & ((degree + 1) >= min_samples)
 
-    # min-label propagation over core-core edges with pointer jumping
-    core_edge = edge & core[:, None] & core[idx]
+    # min-label propagation over core-core edges: non-core points carry the
+    # sentinel label n (identity for min), so "neighbor is core" needs no
+    # gather of `core`; pointer jumping runs to a fixpoint between neighbor
+    # rounds (N-sized gathers are ~k× cheaper than the (N, k) one).
     init = jnp.where(core, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
 
-    def step(labels):
-        ext = jnp.concatenate([labels, jnp.int32(n)[None]])
-        nbr = jnp.where(core_edge, ext[idx], jnp.int32(n))
-        new = jnp.minimum(labels, nbr.min(axis=1))
-        # pointer jumping: labels index other labels (roots self-reference)
-        ext2 = jnp.concatenate([new, jnp.int32(n)[None]])
-        new = jnp.where(core, jnp.minimum(new, ext2[new]), new)
-        ext3 = jnp.concatenate([new, jnp.int32(n)[None]])
-        new = jnp.where(core, jnp.minimum(new, ext3[new]), new)
-        return new
+    def compress(labels):
+        def jcond(state):
+            _, changed = state
+            return changed
+
+        def jbody(state):
+            lab, _ = state
+            ext = jnp.concatenate([lab, jnp.int32(n)[None]])
+            new = jnp.minimum(lab, ext[lab])
+            return new, jnp.any(new != lab)
+
+        out, _ = jax.lax.while_loop(jcond, jbody, (labels, jnp.bool_(True)))
+        return out
 
     def cond(state):
         labels, prev_changed = state
@@ -153,14 +165,18 @@ def _cluster_from_knn(idx, d2, pp, valid, radius2, eps, min_samples: int):
 
     def body(state):
         labels, _ = state
-        new = step(labels)
+        ext = jnp.concatenate([labels, jnp.int32(n)[None]])
+        nbr = jnp.where(edge, ext[idx], jnp.int32(n))  # non-core j ⇒ n
+        new = jnp.where(core, jnp.minimum(labels, nbr.min(axis=1)), labels)
+        new = compress(new)
         return new, jnp.any(new != labels)
 
     labels, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True)))
 
-    # border points: non-core valid points adjacent to a core point
+    # border points: non-core valid points adjacent to a core point; a core
+    # neighbor is exactly one whose converged label is < n
     ext = jnp.concatenate([labels, jnp.int32(n)[None]])
-    border_nbr = jnp.where(edge & core[idx], ext[idx], jnp.int32(n))
+    border_nbr = jnp.where(edge, ext[idx], jnp.int32(n))
     border_label = border_nbr.min(axis=1)
     out = jnp.where(core, labels, jnp.where(border_label < n, border_label, jnp.int32(-1)))
     out = jnp.where(valid, out, jnp.int32(-1))
@@ -182,14 +198,18 @@ def dbscan_pp(xyz: np.ndarray, pp: np.ndarray, *, n_neighbors: int = 70,
     order = np.argsort(xyz[:, 0], kind="stable")
     xyz_s = xyz[order]
     pp_s = pp[order]
-    # pad to power-of-two buckets: each distinct shape costs a full XLA
-    # compile (minutes via the remote compile helper), so cap the bucket set
-    n_pad = max(row_chunk, 1 << (n - 1).bit_length())
+    # pad to quarter-power-of-two buckets: each distinct shape costs a full
+    # XLA compile (minutes via the remote compile helper), so the bucket set
+    # stays bounded (4 per octave) while wasting ≤25% of the O(N·k) work
+    p2 = 1 << max((n - 1).bit_length(), 3)
+    n_pad = next(b for q in (4, 5, 6, 7, 8) if (b := p2 // 8 * q) >= n)
+    n_pad = max(row_chunk, -(-n_pad // row_chunk) * row_chunk)
     x = np.zeros((n_pad, 3), np.float32)
     x[:n] = xyz_s[:, :3]
-    # scatter padded rows far away so they never enter any neighborhood
-    # (they also sort to the end of the x-order)
-    x[n:] = 1e6
+    # pad rows sit far away AND spread out (> radius apart): co-located pads
+    # would otherwise count as one chunk's candidate window and blow `w` up
+    # to the whole pad tail
+    x[n:, 0] = 1e6 + np.arange(n_pad - n, dtype=np.float32) * max(4.0, 2.1 * radius)
     p = np.zeros(n_pad, np.float32)
     p[:n] = pp_s
     valid = np.zeros(n_pad, bool)

@@ -133,6 +133,39 @@ def test_get_obj_geometry(rng):
     np.testing.assert_allclose(sorted([obj.l, obj.w]), [1.8, 4.0], atol=0.15)
 
 
+def test_filter_labels_matches_cluster_loop():
+    """Vectorized filter_labels ≡ the per-cluster is_valid_cluster loop."""
+    rng = np.random.RandomState(3)
+    n = 4000
+    ptc = np.stack([rng.uniform(-40, 40, n), rng.uniform(-40, 40, n),
+                    rng.uniform(-1.9, 1.0, n), np.zeros(n)], 1).astype(np.float32)
+    # dense low-z slab so estimate_plane finds the ground
+    ptc[:2000, 2] = rng.normal(-1.8, 0.02, 2000)
+    pp = rng.uniform(0, 1, n).astype(np.float32)
+    labels = rng.randint(-1, 25, n).astype(np.int64)
+    labels[rng.rand(n) < 0.3] = -1
+    # a couple of empty / tiny cluster ids
+    labels[labels == 7] = -1
+    labels[np.where(labels == 9)[0][5:]] = -1
+
+    kwargs = dict(min_points=10, max_volume=40, min_volume=0.5,
+                  max_min_height=1.0, min_max_height=0.2,
+                  percentile=20, min_percentile_pp_score=0.7)
+    got = seed_labels.filter_labels(ptc, pp, labels, **kwargs)
+
+    from modest_tpu.pipeline.ground_plane import estimate_plane
+
+    ref = labels.copy()
+    plane = estimate_plane(ptc, max_hs=-1.5, ptc_range=((-70, 70), (-50, 50)))
+    for i in range(ref.max() + 1):
+        sel = ref == i
+        if not seed_labels.is_valid_cluster(ptc[sel, :3], pp[sel], plane, **kwargs):
+            ref[sel] = -1
+    keys = np.unique(ref)
+    ref = np.searchsorted(keys, ref)
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_is_valid_cluster_filters():
     plane = np.array([0.0, 0.0, 1.0, 1.8])
     grounded = np.stack([np.zeros(50), np.zeros(50), np.linspace(-1.7, 0.0, 50)], 1)
