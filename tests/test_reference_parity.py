@@ -412,3 +412,35 @@ def test_calibration_roundtrip_parity(ref_pointcloud_utils, tmp_path, rng):
     uvd = np.concatenate([ref_img, ref_rect[:, 2:3]], 1)
     np.testing.assert_allclose(our_cal.project_image_to_rect(uvd),
                                ref_cal.project_image_to_rect(uvd), atol=1e-9)
+
+
+def test_filter_labels_parity(ref_pointcloud_utils, monkeypatch):
+    """Our vectorized cluster-validity filter ≡ the reference's per-cluster
+    loop (clustering_utils.py:94-135), same plane injected on both sides."""
+    sys.path.insert(0, str(REF / "generate_cluster_mask"))
+    try:
+        from utils import clustering_utils as ref_cu
+    finally:
+        sys.path.pop(0)
+    from modest_tpu.pipeline import seed_labels as ours
+
+    rng = np.random.RandomState(11)
+    n = 3000
+    ptc = np.stack([rng.uniform(-40, 40, n), rng.uniform(-40, 40, n),
+                    rng.uniform(-1.9, 1.5, n), np.zeros(n)], 1)
+    pp = rng.uniform(0, 1, n)
+    labels = rng.randint(-1, 30, n).astype(np.int64)
+    labels[rng.rand(n) < 0.25] = -1
+    labels[labels == 5] = -1  # an empty cluster id
+
+    plane = np.array([0.01, -0.02, 0.9995, 1.83])
+    plane = plane / np.linalg.norm(plane[:3])
+    monkeypatch.setattr(ref_cu, "estimate_plane", lambda *a, **k: plane)
+    monkeypatch.setattr(ours, "estimate_plane", lambda *a, **k: plane)
+
+    kwargs = dict(min_points=8, max_volume=40, min_volume=0.5,
+                  max_min_height=1.2, min_max_height=0.3,
+                  percentile=25, min_percentile_pp_score=0.6)
+    got = ours.filter_labels(ptc, pp, labels.copy(), **kwargs)
+    ref = ref_cu.filter_labels(ptc, pp, labels.copy(), **kwargs)
+    np.testing.assert_array_equal(got, ref)
