@@ -33,6 +33,16 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _bucket(n: int, row_chunk: int) -> int:
+    """Quarter-power-of-two size bucket (≥ n, multiple of row_chunk): each
+    distinct shape costs a full XLA compile (minutes via the remote compile
+    helper), so the bucket set stays bounded (4 per octave) while wasting
+    ≤25% of the O(N·k) work."""
+    p2 = 1 << max((n - 1).bit_length(), 3)
+    b = next(b for q in (4, 5, 6, 7, 8) if (b := p2 // 8 * q) >= n)
+    return max(row_chunk, _round_up(b, row_chunk))
+
+
 @functools.partial(jax.jit, static_argnames=("k", "row_chunk"))
 def _knn(xyz, valid, k: int, row_chunk: int = 1024):
     """k nearest neighbors (excluding self) among valid points.
@@ -183,6 +193,53 @@ def _cluster_from_knn(idx, d2, pp, valid, radius2, eps, min_samples: int):
     return out, core
 
 
+@functools.partial(jax.jit, static_argnames=("num_iterations",))
+def _smooth_iterate(idx, d2, pp, valid, keep, num_iterations: int):
+    w = jnp.where(keep, jnp.exp(-d2 / 2.0), 0.0)
+    w = w / jnp.maximum(w.sum(axis=1, keepdims=True), 1e-30)
+
+    def body(_, cur):
+        return jnp.where(valid, (w * cur[idx]).sum(axis=1), cur)
+
+    return jax.lax.fori_loop(0, num_iterations, body, pp)
+
+
+def smooth_pp_score(ptc: np.ndarray, pp_score: np.ndarray, *,
+                    neighbor_type: str = "knn", n_neighbors: int = 50,
+                    radius: float = 1.0, num_iterations: int = 10,
+                    row_chunk: int = 1024) -> np.ndarray:
+    """Graph-smooth a PP score field (reference clustering_utils.smoothing:63-93,
+    dormant there): Gaussian edge weights exp(-d²/2) over the kNN graph,
+    row-normalized, iterated ``num_iterations`` times.
+
+    ``radius`` mode deviates from the reference's unbounded
+    radius_neighbors_graph: neighbors are the k nearest within the radius
+    (k = n_neighbors cap) — the kernel weights beyond ~3σ are negligible, and
+    a bounded neighbor set keeps the shape static for the device.
+    """
+    n = ptc.shape[0]
+    if n == 0:
+        return pp_score.copy()
+    n_pad = _bucket(n, row_chunk)
+    x = np.full((n_pad, 3), 1e6, np.float32)
+    x[:n] = ptc[:, :3]
+    x[n:, 0] += np.arange(n_pad - n, dtype=np.float32) * max(4.0, 2.1 * radius)
+    p = np.zeros(n_pad, np.float32)
+    p[:n] = pp_score
+    valid = np.zeros(n_pad, bool)
+    valid[:n] = True
+    k = min(n_neighbors, max(n - 1, 1))
+    idx, d2 = _knn(jnp.asarray(x), jnp.asarray(valid), k, row_chunk=row_chunk)
+    keep = jnp.isfinite(d2)
+    if neighbor_type == "radius":
+        keep = keep & (d2 <= radius * radius)
+    elif neighbor_type != "knn":
+        raise NotImplementedError(neighbor_type)
+    out = _smooth_iterate(idx, d2, jnp.asarray(p), jnp.asarray(valid), keep,
+                          num_iterations)
+    return np.asarray(out[:n]).astype(pp_score.dtype)
+
+
 def dbscan_pp(xyz: np.ndarray, pp: np.ndarray, *, n_neighbors: int = 70,
               radius: float = 2.0, eps: float = 0.1, min_samples: int = 10,
               row_chunk: int = 1024) -> np.ndarray:
@@ -198,12 +255,7 @@ def dbscan_pp(xyz: np.ndarray, pp: np.ndarray, *, n_neighbors: int = 70,
     order = np.argsort(xyz[:, 0], kind="stable")
     xyz_s = xyz[order]
     pp_s = pp[order]
-    # pad to quarter-power-of-two buckets: each distinct shape costs a full
-    # XLA compile (minutes via the remote compile helper), so the bucket set
-    # stays bounded (4 per octave) while wasting ≤25% of the O(N·k) work
-    p2 = 1 << max((n - 1).bit_length(), 3)
-    n_pad = next(b for q in (4, 5, 6, 7, 8) if (b := p2 // 8 * q) >= n)
-    n_pad = max(row_chunk, -(-n_pad // row_chunk) * row_chunk)
+    n_pad = _bucket(n, row_chunk)
     x = np.zeros((n_pad, 3), np.float32)
     x[:n] = xyz_s[:, :3]
     # pad rows sit far away AND spread out (> radius apart): co-located pads

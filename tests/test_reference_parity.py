@@ -444,3 +444,22 @@ def test_filter_labels_parity(ref_pointcloud_utils, monkeypatch):
     got = ours.filter_labels(ptc, pp, labels.copy(), **kwargs)
     ref = ref_cu.filter_labels(ptc, pp, labels.copy(), **kwargs)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_pp_smoothing_parity(ref_pointcloud_utils):
+    """smooth_pp_score (knn mode) ≡ reference clustering_utils.smoothing."""
+    sys.path.insert(0, str(REF / "generate_cluster_mask"))
+    try:
+        from utils import clustering_utils as ref_cu
+    finally:
+        sys.path.pop(0)
+    from modest_tpu.pipeline.clustering import smooth_pp_score
+
+    rng = np.random.RandomState(7)
+    ptc = rng.uniform(-20, 20, (700, 4))
+    pp = rng.uniform(0, 1, 700)
+    ref = ref_cu.smoothing(ptc, pp, neighbor_type="knn", n_neighbors=12,
+                           num_iterations=5)
+    got = smooth_pp_score(ptc, pp, neighbor_type="knn", n_neighbors=12,
+                          num_iterations=5, row_chunk=256)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
