@@ -132,23 +132,30 @@ def bench_seed_gen(rng, frames=3):
         "detail": f"{clouds[0][0].shape[0]} pts/frame, {n_boxes} seed boxes total",
     }))
 
-    # pipelined variant — the cli/generate_mask.py thread pool: each
-    # frame's host stages (masks, percentiles, label compaction) overlap
-    # other frames' device dispatches + relay round trips
+    # pipelined + group-batched variant — the cli/generate_mask.py pool:
+    # groups of 4 frames share ONE batched clustering dispatch and one
+    # box-fit dispatch, and 3 groups stay in flight so host stages (masks,
+    # percentiles, label compaction) overlap device work + relay round trips
     import concurrent.futures as cf
 
-    many = clouds * ((2 * frames + len(clouds) - 1) // len(clouds))
+    from modest_tpu.pipeline.seed_labels import generate_masks_for_frames
+
+    group = 4
+    many = clouds * ((4 * group + len(clouds) - 1) // len(clouds))
+    gs = [many[s : s + group] for s in range(0, len(many), group)]
+    generate_masks_for_frames(gs[0], [calib] * len(gs[0]), cfg)  # warm/compile
     with cf.ThreadPoolExecutor(3) as pool:
         t0 = time.perf_counter()
-        futs = [pool.submit(generate_mask_for_frame, ptc, pp, calib, cfg)
-                for ptc, pp in many]
-        boxes = sum(len(f.result()[1]) for f in futs)
+        futs = [pool.submit(generate_masks_for_frames, g, [calib] * len(g), cfg)
+                for g in gs]
+        boxes = sum(len(objs) for f in futs for _, objs in f.result())
         dt = time.perf_counter() - t0
     print(json.dumps({
         "metric": "seed_label_gen_pipelined_scans_per_sec",
         "value": round(len(many) / dt, 3),
         "unit": "scans/s",
-        "detail": f"3 worker threads, {len(many)} frames, {boxes} seed boxes",
+        "detail": f"groups of {group} frames/dispatch, 3 worker threads, "
+                  f"{len(many)} frames, {boxes} seed boxes",
     }))
 
 

@@ -16,7 +16,7 @@ import pickle
 
 from tqdm.auto import tqdm
 
-from ..pipeline.seed_labels import generate_mask_for_frame
+from ..pipeline.seed_labels import generate_mask_for_frame, generate_masks_for_frames
 from ..utils import kitti_io
 from ..utils.config import save_config
 from .common import display_args, load_pipeline_config, make_parser, shard_idx_list
@@ -41,46 +41,77 @@ def main(argv=None):
         if not osp.exists(osp.join(bbox_dst, "configs.yaml")):
             save_config(cfg, osp.join(bbox_dst, "configs.yaml"))
 
-    def process(idx: int):
+    def _outputs(idx: int):
         seg_out = osp.join(cfg.data_paths.seg_save_dst, f"{idx:06d}.npy")
         bbox_out = osp.join(bbox_dst, f"{idx:06d}.pkl") if bbox_dst else None
-        if osp.exists(seg_out) and (bbox_out is None or osp.exists(bbox_out)):
-            return
+        return seg_out, bbox_out
+
+    def _load(idx: int):
         ptc = kitti_io.load_velo_scan(osp.join(cfg.ptc_path, f"{idx:06d}.bin"))
         pp_score = np.load(osp.join(cfg.data_paths.pp_score_path, f"{idx:06d}.npy"))
         calib = kitti_io.Calibration(osp.join(cfg.calib_path, f"{idx:06d}.txt"))
+        return ptc, pp_score, calib
 
-        labels, objs = generate_mask_for_frame(ptc, pp_score, calib, cfg)
-
+    def _save(idx: int, labels, objs):
+        seg_out, bbox_out = _outputs(idx)
         if bbox_out is not None:
             with open(bbox_out, "wb") as f:
                 pickle.dump(objs, f)
         np.save(seg_out, labels)
 
-    # software pipeline: K frames in flight so one frame's host stages (IO,
-    # masks, percentiles, label compaction) overlap another's device work
-    # and the relay round-trip latency (frames are independent; each thread
-    # blocks only on its own frame's results). workers=1 → reference-style
-    # strictly sequential loop.
+    def process(idx: int):
+        seg_out, bbox_out = _outputs(idx)
+        if osp.exists(seg_out) and (bbox_out is None or osp.exists(bbox_out)):
+            return
+        ptc, pp_score, calib = _load(idx)
+        labels, objs = generate_mask_for_frame(ptc, pp_score, calib, cfg)
+        _save(idx, labels, objs)
+
+    def process_group(idxs):
+        todo = []
+        for idx in idxs:
+            seg_out, bbox_out = _outputs(idx)
+            if osp.exists(seg_out) and (bbox_out is None or osp.exists(bbox_out)):
+                continue
+            todo.append(idx)
+        if not todo:
+            return
+        loaded = [_load(i) for i in todo]
+        results = generate_masks_for_frames(
+            [(ptc, pp) for ptc, pp, _ in loaded], [c for _, _, c in loaded], cfg)
+        for idx, (labels, objs) in zip(todo, results):
+            _save(idx, labels, objs)
+
+    # software pipeline: frames run through the device in groups of
+    # `device_batch_frames` (ONE batched dispatch for the group's clustering
+    # and one for its box fits), and `pipeline_workers` groups stay in flight
+    # so one group's host stages (IO, plane RANSAC, percentiles, label
+    # compaction) overlap another's device work and the relay round-trip
+    # latency. workers=1 + group=1 → reference-style strictly sequential loop.
     workers = int(cfg.get("pipeline_workers", 3))
-    if workers <= 1:
+    group = int(cfg.get("device_batch_frames", 4))
+    if workers <= 1 and group <= 1:
         for idx in tqdm(idx_list):
             process(int(idx))
     else:
         import collections
         import concurrent.futures as cf
 
-        with cf.ThreadPoolExecutor(workers) as pool:
+        groups = [[int(i) for i in idx_list[s : s + group]]
+                  for s in range(0, len(idx_list), max(group, 1))]
+        with cf.ThreadPoolExecutor(max(workers, 1)) as pool:
             pending = collections.deque()
             bar = tqdm(total=len(idx_list))
-            for idx in idx_list:
-                pending.append(pool.submit(process, int(idx)))
-                if len(pending) >= workers * 2:
-                    pending.popleft().result()
-                    bar.update(1)
+            for g in groups:
+                pending.append((len(g), pool.submit(process_group, g)))
+                if len(pending) >= max(workers, 1) * 2:
+                    cnt, fut = pending.popleft()
+                    fut.result()
+                    bar.update(cnt)
             while pending:
-                pending.popleft().result()
-                bar.update(1)
+                cnt, fut = pending.popleft()
+                fut.result()
+                bar.update(cnt)
             bar.close()
 
 

@@ -285,6 +285,21 @@ def closeness_angles_batched(clusters, delta=0.1, d0=1e-2):
     return [float(angles_np[int(np.argmax(scores[i]))]) for i in range(c_count)]
 
 
+def _obj_from_angle(cl2d, angle, cluster_rect, full_rect):
+    """Assemble the camera-frame box at a fixed scan angle (get_obj tail)."""
+    corners, ry, area = _finalize(cl2d, angle)
+    ry = -ry
+    l = float(np.linalg.norm(corners[0] - corners[1]))
+    w = float(np.linalg.norm(corners[0] - corners[-1]))
+    c = (corners[0] + corners[2]) / 2
+    bottom = get_lowest_point_rect(full_rect, c, l, w, ry)
+    h = float(bottom - cluster_rect[:, 1].min())
+    return types.SimpleNamespace(
+        t=np.array([c[0], bottom, c[1]]), l=l, w=w, h=h, ry=float(ry),
+        volume=float(area * h),
+    )
+
+
 def fit_objs_batched(ptc_rect, labels, n_clusters, fit_method="closeness_to_edge",
                      delta=0.1, d0=1e-2):
     """Fit all clusters of a frame; one device call for the angle scans.
@@ -292,29 +307,36 @@ def fit_objs_batched(ptc_rect, labels, n_clusters, fit_method="closeness_to_edge
     Returns list of (cluster_id, obj). Falls back to per-cluster fitters for
     non-closeness methods.
     """
+    return fit_objs_grouped([(ptc_rect, labels, n_clusters)], fit_method,
+                            delta, d0)[0]
+
+
+def fit_objs_grouped(groups, fit_method="closeness_to_edge", delta=0.1, d0=1e-2):
+    """Fit the clusters of a GROUP of frames; ONE device call for every
+    frame's angle scans (each device round trip costs ~100 ms through the
+    axon relay, so per-frame fit calls dominate a multi-frame pipeline).
+
+    groups: list of (ptc_rect, labels, n_clusters) → list of [(id, obj)].
+    """
     import jax
 
-    clusters = [(i, ptc_rect[labels == i][:, [0, 2]]) for i in range(1, n_clusters + 1)]
-    clusters = [(i, c) for i, c in clusters if c.shape[0] > 0]
-    if not clusters:
-        return []
+    metas = []  # (group_idx, cluster_id, (n_i, 2) points)
+    for g, (ptc_rect, labels, n_clusters) in enumerate(groups):
+        for i in range(1, n_clusters + 1):
+            cl = ptc_rect[labels == i][:, [0, 2]]
+            if cl.shape[0] > 0:
+                metas.append((g, i, cl))
+    out = [[] for _ in groups]
+    if not metas:
+        return out
     if fit_method != "closeness_to_edge" or jax.default_backend() == "cpu":
-        return [(i, get_obj(ptc_rect[labels == i], ptc_rect, fit_method)) for i, _ in clusters]
+        for g, i, _ in metas:
+            ptc_rect, labels, _n = groups[g]
+            out[g].append((i, get_obj(ptc_rect[labels == i], ptc_rect, fit_method)))
+        return out
 
-    angles = closeness_angles_batched([c for _, c in clusters], delta, d0)
-    out = []
-    for (i, cl), angle in zip(clusters, angles):
-        corners, ry, area = _finalize(cl, angle)
-        ry = -ry
-        l = float(np.linalg.norm(corners[0] - corners[1]))
-        w = float(np.linalg.norm(corners[0] - corners[-1]))
-        c = (corners[0] + corners[2]) / 2
-        cluster_rect = ptc_rect[labels == i]
-        bottom = get_lowest_point_rect(ptc_rect, c, l, w, ry)
-        h = float(bottom - cluster_rect[:, 1].min())
-        obj = types.SimpleNamespace(
-            t=np.array([c[0], bottom, c[1]]), l=l, w=w, h=h, ry=float(ry),
-            volume=float(area * h),
-        )
-        out.append((i, obj))
+    angles = closeness_angles_batched([c for _, _, c in metas], delta, d0)
+    for (g, i, cl), angle in zip(metas, angles):
+        ptc_rect, labels, _n = groups[g]
+        out[g].append((i, _obj_from_angle(cl, angle, ptc_rect[labels == i], ptc_rect)))
     return out

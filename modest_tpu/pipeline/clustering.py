@@ -43,8 +43,7 @@ def _bucket(n: int, row_chunk: int) -> int:
     return max(row_chunk, _round_up(b, row_chunk))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "row_chunk"))
-def _knn(xyz, valid, k: int, row_chunk: int = 1024):
+def _knn_impl(xyz, valid, k: int, row_chunk: int = 1024):
     """k nearest neighbors (excluding self) among valid points.
 
     Returns (idx (N,k) int32, d2 (N,k) f32 with inf on invalid slots).
@@ -79,9 +78,16 @@ def _knn(xyz, valid, k: int, row_chunk: int = 1024):
     return idxk.reshape(n, k), d2k.reshape(n, k)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "row_chunk", "w"))
-def _knn_windowed(xyz_sorted, valid, k: int, row_chunk: int, w: int,
-                  radius: float):
+_knn = jax.jit(_knn_impl, static_argnames=("k", "row_chunk"))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "row_chunk"))
+def _knn_batch(xyz_b, valid_b, k: int, row_chunk: int = 1024):
+    return jax.vmap(lambda x, v: _knn_impl(x, v, k, row_chunk))(xyz_b, valid_b)
+
+
+def _knn_windowed_impl(xyz_sorted, valid, k: int, row_chunk: int, w: int,
+                       radius: float):
     """kNN over x-sorted points with a per-chunk candidate window.
 
     Each chunk of ``row_chunk`` consecutive (x-sorted) queries only scores
@@ -128,8 +134,22 @@ def _knn_windowed(xyz_sorted, valid, k: int, row_chunk: int, w: int,
     return idxk.reshape(n, -1), d2k.reshape(n, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("min_samples",))
-def _cluster_from_knn(idx, d2, pp, valid, radius2, eps, min_samples: int):
+_knn_windowed = jax.jit(_knn_windowed_impl,
+                        static_argnames=("k", "row_chunk", "w"))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "row_chunk", "w"))
+def _knn_windowed_batch(xyz_b, valid_b, k: int, row_chunk: int, w: int,
+                        radius: float):
+    """Batched windowed kNN over B frames: each lax.map chunk now carries
+    (B, row_chunk) queries, filling the MXU/VPU B× better and amortizing the
+    per-chunk top-k/searchsorted overheads across the whole frame group."""
+    return jax.vmap(
+        lambda x, v: _knn_windowed_impl(x, v, k, row_chunk, w, radius)
+    )(xyz_b, valid_b)
+
+
+def _cluster_from_knn_impl(idx, d2, pp, valid, radius2, eps, min_samples: int):
     # TPU cost model: the dominant op here is the (N, k) gather from the
     # N-element label/score tables (~35 ms per 4.6M-index gather on v5e
     # through XLA's gather). The layout below keeps it to TWO setup gathers
@@ -193,6 +213,21 @@ def _cluster_from_knn(idx, d2, pp, valid, radius2, eps, min_samples: int):
     return out, core
 
 
+_cluster_from_knn = jax.jit(_cluster_from_knn_impl,
+                            static_argnames=("min_samples",))
+
+
+@functools.partial(jax.jit, static_argnames=("min_samples",))
+def _cluster_from_knn_batch(idx_b, d2_b, pp_b, valid_b, radius2, eps,
+                            min_samples: int):
+    # vmap lifts both while_loops to run until every frame converges; the
+    # already-converged frames' extra rounds are harmless mins
+    return jax.vmap(
+        lambda i, d, p, v: _cluster_from_knn_impl(i, d, p, v, radius2, eps,
+                                                  min_samples)
+    )(idx_b, d2_b, pp_b, valid_b)
+
+
 @functools.partial(jax.jit, static_argnames=("num_iterations",))
 def _smooth_iterate(idx, d2, pp, valid, keep, num_iterations: int):
     w = jnp.where(keep, jnp.exp(-d2 / 2.0), 0.0)
@@ -240,6 +275,54 @@ def smooth_pp_score(ptc: np.ndarray, pp_score: np.ndarray, *,
     return np.asarray(out[:n]).astype(pp_score.dtype)
 
 
+def _dbscan_prep(xyz, pp, n_pad: int, radius: float, row_chunk: int):
+    """x-sort + pad one frame to n_pad rows; returns (order, x, p, valid, need).
+
+    x-sorting lets the kNN score only a contiguous candidate window per query
+    chunk (exactness: see _knn_windowed_impl). `need` is the widest window any
+    chunk requires to cover [chunk_min − r, chunk_max + r]. Pad rows sit far
+    away AND spread out (> radius apart): co-located pads would otherwise
+    count as one chunk's candidate window and blow `need` up to the whole
+    pad tail.
+    """
+    n = xyz.shape[0]
+    order = np.argsort(xyz[:, 0], kind="stable")
+    x = np.zeros((n_pad, 3), np.float32)
+    x[:n] = xyz[order][:, :3]
+    x[n:, 0] = 1e6 + np.arange(n_pad - n, dtype=np.float32) * max(4.0, 2.1 * radius)
+    p = np.zeros(n_pad, np.float32)
+    p[:n] = pp[order]
+    valid = np.zeros(n_pad, bool)
+    valid[:n] = True
+    xs = x[:, 0]
+    c_min = xs[0:n_pad:row_chunk]
+    c_max = xs[row_chunk - 1 : n_pad : row_chunk]
+    need = int(np.max(np.searchsorted(xs, c_max + radius, side="right")
+                      - np.searchsorted(xs, c_min - radius, side="left")))
+    return order, x, p, valid, need
+
+
+def _dbscan_post(raw_sorted: np.ndarray, order: np.ndarray, n: int) -> np.ndarray:
+    """Raw labels (min-core indices in SORTED order) → original positions,
+    compacted by first occurrence in ORIGINAL index order — sklearn assigns
+    cluster ids by the first core point it expands."""
+    raw = np.full(n, -1, np.int64)
+    raw[order] = raw_sorted
+    mask = raw >= 0
+    out = np.full(n, -1, np.int64)
+    if mask.any():
+        vals, first_pos = np.unique(raw[mask], return_index=True)
+        rank = np.empty(len(vals), np.int64)
+        rank[np.argsort(first_pos, kind="stable")] = np.arange(len(vals))
+        out[mask] = rank[np.searchsorted(vals, raw[mask])]
+    return out
+
+
+def _window_width(need: int, k: int, row_chunk: int) -> int:
+    """Power-of-two candidate window covering `need` (bounded bucket set)."""
+    return max(1 << (max(need, k + 1, 512) - 1).bit_length(), row_chunk)
+
+
 def dbscan_pp(xyz: np.ndarray, pp: np.ndarray, *, n_neighbors: int = 70,
               radius: float = 2.0, eps: float = 0.1, min_samples: int = 10,
               row_chunk: int = 1024) -> np.ndarray:
@@ -250,32 +333,11 @@ def dbscan_pp(xyz: np.ndarray, pp: np.ndarray, *, n_neighbors: int = 70,
     n = xyz.shape[0]
     if n == 0:
         return np.zeros(0, np.int64)
-    # x-sort so the kNN can score only a contiguous candidate window per
-    # query chunk instead of all N points (exactness: see _knn_windowed)
-    order = np.argsort(xyz[:, 0], kind="stable")
-    xyz_s = xyz[order]
-    pp_s = pp[order]
     n_pad = _bucket(n, row_chunk)
-    x = np.zeros((n_pad, 3), np.float32)
-    x[:n] = xyz_s[:, :3]
-    # pad rows sit far away AND spread out (> radius apart): co-located pads
-    # would otherwise count as one chunk's candidate window and blow `w` up
-    # to the whole pad tail
-    x[n:, 0] = 1e6 + np.arange(n_pad - n, dtype=np.float32) * max(4.0, 2.1 * radius)
-    p = np.zeros(n_pad, np.float32)
-    p[:n] = pp_s
-    valid = np.zeros(n_pad, bool)
-    valid[:n] = True
+    order, x, p, valid, need = _dbscan_prep(xyz, pp, n_pad, radius, row_chunk)
 
     k = min(n_neighbors, max(n - 1, 1))
-    # window width: max candidates any chunk can see within ±radius in x,
-    # rounded to a power of two (bounded bucket set)
-    xs = x[:, 0]
-    c_min = xs[0:n_pad:row_chunk]
-    c_max = xs[row_chunk - 1 : n_pad : row_chunk]
-    need = int(np.max(np.searchsorted(xs, c_max + radius, side="right")
-                      - np.searchsorted(xs, c_min - radius, side="left")))
-    w = max(1 << (max(need, k + 1, 512) - 1).bit_length(), row_chunk)
+    w = _window_width(need, k, row_chunk)
     if w >= n_pad:
         idx, d2 = _knn(jnp.asarray(x), jnp.asarray(valid), k, row_chunk=row_chunk)
     else:
@@ -286,19 +348,45 @@ def dbscan_pp(xyz: np.ndarray, pp: np.ndarray, *, n_neighbors: int = 70,
         np.float32(radius * radius), np.float32(eps), min_samples,
     )
     raw_sorted = np.asarray(raw[:n]).astype(np.int64)
-    # raw labels are min-core indices in SORTED order; map back to original
-    # positions, then re-rank by the minimum ORIGINAL index per component so
-    # cluster ids keep sklearn's first-core ordering
-    raw = np.full(n, -1, np.int64)
-    raw[order] = raw_sorted
+    return _dbscan_post(raw_sorted, order, n)
 
-    # compact ids by first occurrence in ORIGINAL index order — sklearn
-    # assigns cluster ids by the first core point it expands
-    mask = raw >= 0
-    out = np.full(n, -1, np.int64)
-    if mask.any():
-        vals, first_pos = np.unique(raw[mask], return_index=True)
-        rank = np.empty(len(vals), np.int64)
-        rank[np.argsort(first_pos, kind="stable")] = np.arange(len(vals))
-        out[mask] = rank[np.searchsorted(vals, raw[mask])]
-    return out
+
+def dbscan_pp_many(frames, *, n_neighbors: int = 70, radius: float = 2.0,
+                   eps: float = 0.1, min_samples: int = 10,
+                   row_chunk: int = 1024) -> list:
+    """Cluster a GROUP of frames in one batched device dispatch.
+
+    frames: list of (xyz (n_i, 3+), pp (n_i,)) tuples → list of label arrays,
+    each exactly equal to dbscan_pp on that frame (shared padding/window
+    buckets don't change the graph). Batching fills each kNN chunk with
+    (B, row_chunk) queries and amortizes the dispatch + relay round trips
+    that dominate per-frame latency on small programs.
+    """
+    if not frames:
+        return []
+    ns = [np.asarray(f[0]).shape[0] for f in frames]
+    n_max = max(ns)
+    if n_max == 0:
+        return [np.zeros(0, np.int64) for _ in frames]
+    b = len(frames)
+    b_pad = 1 << (b - 1).bit_length()  # group-size buckets: bounded compiles
+    n_pad = _bucket(n_max, row_chunk)
+    preps = [_dbscan_prep(np.asarray(xyz), np.asarray(pp), n_pad, radius, row_chunk)
+             for xyz, pp in frames]
+    preps += [preps[0]] * (b_pad - b)
+
+    k = min(n_neighbors, max(n_max - 1, 1))
+    w = _window_width(max(pr[4] for pr in preps), k, row_chunk)
+    xb = jnp.asarray(np.stack([pr[1] for pr in preps]))
+    pb = jnp.asarray(np.stack([pr[2] for pr in preps]))
+    vb = jnp.asarray(np.stack([pr[3] for pr in preps]))
+    if w >= n_pad:
+        idx, d2 = _knn_batch(xb, vb, k, row_chunk)
+    else:
+        idx, d2 = _knn_windowed_batch(xb, vb, k, row_chunk, w, float(radius))
+    raw, _core = _cluster_from_knn_batch(
+        idx, d2, pb, vb, np.float32(radius * radius), np.float32(eps),
+        min_samples,
+    )
+    raw = np.asarray(raw).astype(np.int64)
+    return [_dbscan_post(raw[i, :ns[i]], preps[i][0], ns[i]) for i in range(b)]

@@ -85,8 +85,8 @@ def filter_labels(ptc, pp_score, labels, min_points=10, max_volume=40, min_volum
 # ---------------------------------------------------------------------------
 
 
-def generate_mask_for_frame(ptc: np.ndarray, pp_score: np.ndarray, calib, cfg):
-    """ptc: (N, 4) velodyne points; pp_score: (N,). Returns (labels, objs)."""
+def _frame_final_mask(ptc: np.ndarray, cfg) -> np.ndarray:
+    """Above-ground ∧ in-range mask (generate_mask.py:47-60)."""
     pe = cfg.plane_estimate
     plane = estimate_plane(ptc[:, :3], max_hs=pe.max_hs, ptc_range=_t(pe.range))
     plane_mask = above_plane(ptc[:, :3], plane, offset=pe.offset, only_range=_t(pe.range))
@@ -95,13 +95,35 @@ def generate_mask_for_frame(ptc: np.ndarray, pp_score: np.ndarray, calib, cfg):
         (ptc[:, 0] <= lr[0][1]) & (ptc[:, 0] > lr[0][0])
         & (ptc[:, 1] <= lr[1][1]) & (ptc[:, 1] > lr[1][0])
     )
-    final_mask = plane_mask & range_mask
+    return plane_mask & range_mask
 
-    labels = np.full(ptc.shape[0], -1, dtype=np.int64)
+
+def _check_clustering_cfg(cfg):
     if cfg.clustering.method != "DBSCAN":
         raise NotImplementedError(cfg.clustering.method)
     assert cfg.graph.neighbor_type == "radius_mutual_knn", cfg.graph.neighbor_type
     assert cfg.graph.affinity_type == "l1", cfg.graph.affinity_type
+
+
+def _finish_frame(labels: np.ndarray, fit_results, cfg):
+    """Volume-filter fitted boxes, zero out rejected clusters, compact ids."""
+    objs = []
+    for i, obj in fit_results:
+        if cfg.filtering.min_volume < obj.volume < cfg.filtering.max_volume:
+            objs.append(obj)
+        else:
+            labels[labels == i] = 0
+    keys = np.unique(labels)
+    labels = np.searchsorted(keys, labels)
+    return labels, objs
+
+
+def generate_mask_for_frame(ptc: np.ndarray, pp_score: np.ndarray, calib, cfg):
+    """ptc: (N, 4) velodyne points; pp_score: (N,). Returns (labels, objs)."""
+    _check_clustering_cfg(cfg)
+    final_mask = _frame_final_mask(ptc, cfg)
+
+    labels = np.full(ptc.shape[0], -1, dtype=np.int64)
     labels[final_mask] = dbscan_pp(
         ptc[final_mask, :3],
         pp_score[final_mask],
@@ -116,17 +138,42 @@ def generate_mask_for_frame(ptc: np.ndarray, pp_score: np.ndarray, calib, cfg):
     ptc_rect = calib.project_velo_to_rect(ptc[:, :3])
     from .box_fit import fit_objs_batched
 
-    objs = []
-    for i, obj in fit_objs_batched(ptc_rect, labels, int(labels.max()),
-                                   fit_method=cfg.bbox_gen.fit_method):
-        if cfg.filtering.min_volume < obj.volume < cfg.filtering.max_volume:
-            objs.append(obj)
-        else:
-            labels[labels == i] = 0
+    fits = fit_objs_batched(ptc_rect, labels, int(labels.max()),
+                            fit_method=cfg.bbox_gen.fit_method)
+    return _finish_frame(labels, fits, cfg)
 
-    keys = np.unique(labels)
-    labels = np.searchsorted(keys, labels)
-    return labels, objs
+
+def generate_masks_for_frames(frames, calibs, cfg):
+    """Multi-frame generate_mask_for_frame: ONE batched device dispatch for
+    the whole group's clustering (dbscan_pp_many) and one for every frame's
+    box-fit angle scans, instead of 2+ round trips per frame. Same outputs.
+
+    frames: list of (ptc (N, 4), pp_score (N,)); calibs: matching list.
+    Returns list of (labels, objs).
+    """
+    from .box_fit import fit_objs_grouped
+    from .clustering import dbscan_pp_many
+
+    _check_clustering_cfg(cfg)
+    masks = [_frame_final_mask(ptc, cfg) for ptc, _ in frames]
+    groups = dbscan_pp_many(
+        [(ptc[m, :3], pp[m]) for (ptc, pp), m in zip(frames, masks)],
+        n_neighbors=cfg.graph.n_neighbors,
+        radius=cfg.graph.radius,
+        eps=cfg.clustering.DBSCAN.eps,
+        min_samples=cfg.clustering.DBSCAN.min_samples,
+    )
+    labels_list = []
+    fit_groups = []
+    for (ptc, pp), m, sub, calib in zip(frames, masks, groups, calibs):
+        labels = np.full(ptc.shape[0], -1, dtype=np.int64)
+        labels[m] = sub
+        labels = filter_labels(ptc, pp, labels, **cfg.filtering.to_dict())
+        labels_list.append(labels)
+        fit_groups.append((calib.project_velo_to_rect(ptc[:, :3]), labels,
+                           int(labels.max())))
+    fits = fit_objs_grouped(fit_groups, fit_method=cfg.bbox_gen.fit_method)
+    return [_finish_frame(lb, f, cfg) for lb, f in zip(labels_list, fits)]
 
 
 def _t(pair):

@@ -444,3 +444,80 @@ def test_dbscan_windowed_matches_full():
     xs = np.sort(xyz[:, 0])
     n_pad = 1 << (len(xyz) - 1).bit_length()
     assert len(xyz) > 2048  # sanity: big enough that windowing matters
+
+
+def test_dbscan_pp_many_matches_single():
+    """Batched multi-frame clustering ≡ per-frame dbscan_pp (padding/window
+    buckets shared across the group don't change the graph)."""
+    from modest_tpu.pipeline.clustering import dbscan_pp, dbscan_pp_many
+
+    frames = []
+    for s, n in enumerate([3000, 1500, 2600]):
+        r = np.random.RandomState(s)
+        xyz = r.uniform(-30, 30, (n, 3)).astype(np.float32)
+        pp = r.uniform(0, 1, n).astype(np.float32)
+        for b in range(4):  # dense ephemeral blobs → clusters
+            c = r.uniform(-20, 20, 3)
+            sl = slice(b * 150, (b + 1) * 150)
+            xyz[sl] = (c + r.uniform(-0.8, 0.8, (150, 3))).astype(np.float32)
+            pp[sl] = 0.1 + r.uniform(0, 0.05, 150).astype(np.float32)
+        frames.append((xyz, pp))
+
+    kw = dict(n_neighbors=20, radius=2.0, eps=0.15, min_samples=5, row_chunk=256)
+    many = dbscan_pp_many(frames, **kw)
+    assert len(many) == len(frames)
+    for (xyz, pp), got in zip(frames, many):
+        exp = dbscan_pp(xyz, pp, **kw)
+        np.testing.assert_array_equal(got, exp)
+        assert exp.max() >= 0  # the blobs actually clustered
+
+
+def test_generate_masks_for_frames_matches_single():
+    from modest_tpu.pipeline.seed_labels import (generate_mask_for_frame,
+                                                 generate_masks_for_frames)
+    from modest_tpu.utils.config import Config
+    from modest_tpu.utils.kitti_io import Calibration
+
+    cfg = Config({
+        "plane_estimate": {"range": [[-70, 70], [-20, 20]], "max_hs": -1.5,
+                           "offset": 0.05},
+        "limit_range": [[-70, 70], [-40, 40]],
+        "graph": {"neighbor_type": "radius_mutual_knn", "affinity_type": "l1",
+                  "n_neighbors": 30, "radius": 2.0},
+        "clustering": {"method": "DBSCAN", "DBSCAN": {"eps": 0.1, "min_samples": 8}},
+        "filtering": {"min_points": 10, "max_volume": 120, "min_volume": 0.5,
+                      "min_max_height": 0.5, "max_min_height": 1.0,
+                      "percentile": 20, "min_percentile_pp_score": 0.7},
+        "bbox_gen": {"fit_method": "closeness_to_edge"},
+    })
+    P2 = np.array([[700.0, 0, 600, 0], [0, 700.0, 200, 0], [0, 0, 1.0, 0]])
+    V2C = np.array([[0.0, -1, 0, 0], [0, 0, -1, 0], [1.0, 0, 0, 0]])
+    calib = Calibration({"P2": P2, "P3": P2, "R0_rect": np.eye(3),
+                         "Tr_velo_to_cam": V2C})
+
+    frames = []
+    for s in range(2):
+        r = np.random.RandomState(40 + s)
+        n_g = 6000
+        ground = np.stack([r.uniform(0, 70, n_g), r.uniform(-30, 30, n_g),
+                           r.normal(-1.8, 0.03, n_g)], 1)
+        pts = [ground]
+        for b in range(4):
+            c = r.uniform([10, -20, -1.5], [60, 20, -1.2])
+            pts.append(c + r.uniform(-1, 1, (400, 3)) * [2.0, 0.9, 0.7])
+        ptc = np.concatenate(pts).astype(np.float32)
+        ptc = np.concatenate([ptc, np.zeros((len(ptc), 1), np.float32)], 1)
+        pp = r.uniform(0, 1, len(ptc)).astype(np.float32)
+        pp[:n_g] = 0.85
+        pp[n_g:] = 0.05
+        frames.append((ptc, pp))
+
+    batched = generate_masks_for_frames(frames, [calib, calib], cfg)
+    for (ptc, pp), (lb_b, objs_b) in zip(frames, batched):
+        lb_s, objs_s = generate_mask_for_frame(ptc, pp, calib, cfg)
+        np.testing.assert_array_equal(lb_b, lb_s)
+        assert len(objs_b) == len(objs_s) > 0
+        for ob, os_ in zip(objs_b, objs_s):
+            np.testing.assert_allclose(ob.t, os_.t, atol=1e-6)
+            np.testing.assert_allclose([ob.l, ob.w, ob.h, ob.ry],
+                                       [os_.l, os_.w, os_.h, os_.ry], atol=1e-6)
