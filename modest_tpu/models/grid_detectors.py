@@ -41,8 +41,15 @@ from .voxelize import (
 
 
 def generate_anchors(anchor_cfg, grid_size, point_cloud_range) -> np.ndarray:
-    """(A, 7) flattened anchors in [y, x, size, rot] order + per-loc count."""
-    all_anchors = []
+    """(A, 7) flattened anchors + feature-map shape.
+
+    Multiple configs (multi-class AnchorHeadSingle) interleave per LOCATION
+    — (fy, fx, Σ na_c, 7) — matching the head conv's location-major output
+    (reference AnchorHeadSingle concatenates class anchors along the
+    per-location axis); all configs must share feature_map_stride then.
+    """
+    per_cfg = []
+    fmaps = []
     for cfg in anchor_cfg:
         stride = cfg["feature_map_stride"]
         fx = grid_size[0] // stride
@@ -69,8 +76,43 @@ def generate_anchors(anchor_cfg, grid_size, point_cloud_range) -> np.ndarray:
         out[..., 3:6] = sizes[None, None, None, :, None, :]
         out[..., 6] = rots[None, None, None, None, :]
         out[..., 2] += out[..., 5] / 2  # bottom → center z
-        all_anchors.append(out.reshape(-1, 7))
-    return np.concatenate(all_anchors), (fy, fx)
+        per_cfg.append(out.reshape(fy, fx, -1, 7))
+        fmaps.append((fy, fx))
+    if len(per_cfg) == 1:
+        return per_cfg[0].reshape(-1, 7), fmaps[0]
+    assert len(set(fmaps)) == 1, f"mixed feature_map_stride: {fmaps}"
+    return np.concatenate(per_cfg, axis=2).reshape(-1, 7), fmaps[0]
+
+
+def single_head_anchor_setup(anchor_cfg, grid_size, point_cloud_range):
+    """Anchors + per-anchor match metadata for a (possibly multi-class)
+    AnchorHeadSingle-style head.
+
+    Anchor configs must be listed in CLASS_NAMES order (class id = position
+    + 1), the convention of every reference config. Returns
+    (anchors (A, 7), na_per_loc, matched_thr, unmatched_thr, anchor_cls)
+    where the last three are scalars/None for one config (the MODEST case)
+    and per-anchor (A,) arrays otherwise.
+    """
+    anchors_np, fmap = generate_anchors(anchor_cfg, grid_size, point_cloud_range)
+    na_list = [
+        len(c["anchor_sizes"]) * len(c["anchor_rotations"]) * len(c["anchor_bottom_heights"])
+        for c in anchor_cfg
+    ]
+    na = sum(na_list)
+    if len(anchor_cfg) == 1:
+        c = anchor_cfg[0]
+        return (anchors_np, na, float(c["matched_threshold"]),
+                float(c["unmatched_threshold"]), None)
+    m_loc = np.concatenate([np.full(n, c["matched_threshold"], np.float32)
+                            for c, n in zip(anchor_cfg, na_list)])
+    u_loc = np.concatenate([np.full(n, c["unmatched_threshold"], np.float32)
+                            for c, n in zip(anchor_cfg, na_list)])
+    cls_loc = np.concatenate([np.full(n, i + 1, np.int32)
+                              for i, n in enumerate(na_list)])
+    locs = fmap[0] * fmap[1]
+    return (anchors_np, na, np.tile(m_loc, locs), np.tile(u_loc, locs),
+            np.tile(cls_loc, locs))
 
 
 def aligned_bev_iou(boxes_a, boxes_b):
@@ -97,18 +139,25 @@ def aligned_bev_iou(boxes_a, boxes_b):
 
 
 def assign_anchor_targets(anchors, gt_boxes, box_coder: ResidualCoder,
-                          matched_thr: float, unmatched_thr: float):
-    """AxisAlignedTargetAssigner, single class, vectorized over the batch.
+                          matched_thr, unmatched_thr, anchor_cls=None):
+    """AxisAlignedTargetAssigner, vectorized over the batch.
 
-    anchors (A, 7); gt_boxes (B, M, 8). Returns labels (B, A) int32
-    (-1 ignore / 0 bg / cls), reg_targets (B, A, 7), reg_weights (B, A).
+    anchors (A, 7); gt_boxes (B, M, 8). matched/unmatched_thr are scalars or
+    per-anchor (A,) arrays; anchor_cls (A,) int32 restricts each anchor to
+    gts of its own class (the reference assigner runs per class and
+    concatenates — masking the overlap matrix is equivalent). Returns labels
+    (B, A) int32 (-1 ignore / 0 bg / cls), reg_targets (B, A, 7),
+    reg_weights (B, A).
     """
 
     def per_sample(gt):
         gt_valid = jnp.abs(gt).sum(-1) > 0
         cls = gt[:, 7].astype(jnp.int32)
         ov = aligned_bev_iou(anchors, gt[:, :7])
-        ov = jnp.where(gt_valid[None, :], ov, -1.0)
+        pair_ok = gt_valid[None, :]
+        if anchor_cls is not None:
+            pair_ok = pair_ok & (cls[None, :] == anchor_cls[:, None])
+        ov = jnp.where(pair_ok, ov, -1.0)
         a2g_max = ov.max(axis=1)
         a2g_arg = ov.argmax(axis=1)
         g2a_max = jnp.where(gt_valid, ov.max(axis=0), -1.0)
@@ -335,9 +384,13 @@ class GridDetector(nn.Module):
                 use_dir=bool(cfg.DENSE_HEAD.get("USE_DIRECTION_CLASSIFIER", True)),
             )
         if cfg.NAME == "SECONDNet":
-            from .sparse_conv import VoxelBackBone8x
+            from .sparse_conv import VoxelBackBone8x, VoxelResBackBone8x
 
-            self.backbone_3d = VoxelBackBone8x()
+            bb3d = cfg.get("BACKBONE_3D", None)
+            if bb3d is not None and bb3d.get("NAME", "VoxelBackBone8x") == "VoxelResBackBone8x":
+                self.backbone_3d = VoxelResBackBone8x()
+            else:
+                self.backbone_3d = VoxelBackBone8x()
 
     def __call__(self, points, gt_boxes=None, train: bool = False,
                  max_voxels: int = 16000):

@@ -25,8 +25,8 @@ from .grid_detectors import (
     AnchorHeadSingle,
     BEVBackbone,
     assign_anchor_targets,
+    single_head_anchor_setup,
     decode_anchor_boxes,
-    generate_anchors,
     grid_detector_loss,
 )
 from .layers import FCHead, SharedMLP
@@ -85,16 +85,13 @@ class PartA2(nn.Module):
         gs = tuple(int(v) for v in self.grid_size)
         self._pcr, self._vs, self._gs = pcr, vs, gs
 
-        anchors_np, _ = generate_anchors(
+        anchors_np, na, m_thr, u_thr, a_cls = single_head_anchor_setup(
             [c.to_dict() for c in cfg.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG], gs, pcr
         )
         self._anchors = jnp.asarray(anchors_np)
-        acfg = cfg.DENSE_HEAD.ANCHOR_GENERATOR_CONFIG[0]
-        self._matched_thr = float(acfg.matched_threshold)
-        self._unmatched_thr = float(acfg.unmatched_threshold)
-        na = len(acfg.anchor_sizes) * len(acfg.anchor_rotations) * len(
-            acfg.anchor_bottom_heights
-        )
+        self._matched_thr = m_thr
+        self._unmatched_thr = u_thr
+        self._anchor_cls = None if a_cls is None else jnp.asarray(a_cls)
         self.box_coder = ResidualCoder()
         self.roi_coder = ResidualCoder()
 
@@ -180,6 +177,7 @@ class PartA2(nn.Module):
             labels, reg_targets, _ = assign_anchor_targets(
                 self._anchors, gt_boxes, self.box_coder,
                 self._matched_thr, self._unmatched_thr,
+                anchor_cls=self._anchor_cls,
             )
             out["box_cls_labels"] = labels
             out["box_reg_targets"] = reg_targets

@@ -135,9 +135,15 @@ def sample_rois_for_rcnn(rng, rois, roi_scores, roi_labels, gt_boxes, cfg):
         s_gt = gt[jnp.clip(gt_assign[pick], 0, None)]
 
         reg_valid = (s_ov > cfg.REG_FG_THRESH).astype(jnp.int32)
-        cls_labels = (s_ov > cfg.CLS_FG_THRESH).astype(jnp.int32)
-        interval = (s_ov > cfg.CLS_BG_THRESH) & (s_ov < cfg.CLS_FG_THRESH)
-        cls_labels = jnp.where(interval, -1, cls_labels)
+        if cfg.get("CLS_SCORE_TYPE", "cls") == "roi_iou":
+            # soft labels: IoU interpolated between bg/fg thresholds
+            # (reference proposal_target_layer.py:44-53)
+            soft = (s_ov - cfg.CLS_BG_THRESH) / (cfg.CLS_FG_THRESH - cfg.CLS_BG_THRESH)
+            cls_labels = jnp.clip(soft, 0.0, 1.0).astype(jnp.float32)
+        else:
+            cls_labels = (s_ov > cfg.CLS_FG_THRESH).astype(jnp.float32)
+            interval = (s_ov > cfg.CLS_BG_THRESH) & (s_ov < cfg.CLS_FG_THRESH)
+            cls_labels = jnp.where(interval, -1.0, cls_labels)
         return dict(rois=s_rois, gt_of_rois=s_gt, gt_iou_of_rois=s_ov,
                     roi_scores=s_scores, roi_labels=s_labels,
                     reg_valid_mask=reg_valid, rcnn_cls_labels=cls_labels)

@@ -271,6 +271,79 @@ class VoxelBackBone8x(nn.Module):
         return bev
 
 
+class SparseResBlock(nn.Module):
+    """Residual SubM block (reference spconv_backbone.SparseBasicBlock:
+    conv-BN-ReLU-conv-BN + identity skip, ReLU). Requires matching in/out
+    channels, which holds everywhere it's used in VoxelResBackBone8x."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, feats, coords, keys, valid, shape_zyx, train: bool = False):
+        identity = feats
+        x = SubMConv3d(self.out_channels, name="conv1")(feats, coords, keys, valid, shape_zyx)
+        x = MaskedBatchNorm(name="bn1")(x, valid, train=train)
+        x = nn.relu(x)
+        x = SubMConv3d(self.out_channels, name="conv2")(x, coords, keys, valid, shape_zyx)
+        x = MaskedBatchNorm(name="bn2")(x, valid, train=train)
+        return nn.relu(x + identity)
+
+
+class VoxelResBackBone8x(nn.Module):
+    """spconv VoxelResBackBone8x equivalent (reference
+    spconv_backbone.py:183-280): the VoxelBackBone8x chain with two residual
+    SubM blocks per stage and a 128-channel stage 4. Output BEV channels are
+    identical (2 × 128 after height compression)."""
+
+    return_multiscale: bool = False
+
+    @nn.compact
+    def __call__(self, feats, coords, keys, valid, shape_zyx, train: bool = False):
+        s1 = shape_zyx
+        x = SparseBasicBlock(16, name="conv_input")(feats, coords, keys, valid, s1, train)
+        x = SparseResBlock(16, name="res1_a")(x, coords, keys, valid, s1, train)
+        x = x1 = SparseResBlock(16, name="res1_b")(x, coords, keys, valid, s1, train)
+
+        def down(x, coords, keys, valid, s_in, cout, stride, padding, name):
+            s_out = _down_shape(s_in, stride, padding)
+            x, c, k, v = SparseConv3d(cout, stride, padding, name=name)(
+                x, coords, keys, valid, s_in, s_out
+            )
+            x = MaskedBatchNorm(name=name + "_bn")(x, v, train=train)
+            return nn.relu(x), c, k, v, s_out
+
+        x, c2, k2, v2, s2 = down(x, coords, keys, valid, s1, 32, (2, 2, 2), (1, 1, 1), "conv2_down")
+        x = SparseResBlock(32, name="res2_a")(x, c2, k2, v2, s2, train)
+        x = x2 = SparseResBlock(32, name="res2_b")(x, c2, k2, v2, s2, train)
+
+        x, c3, k3, v3, s3 = down(x, c2, k2, v2, s2, 64, (2, 2, 2), (1, 1, 1), "conv3_down")
+        x = SparseResBlock(64, name="res3_a")(x, c3, k3, v3, s3, train)
+        x = x3 = SparseResBlock(64, name="res3_b")(x, c3, k3, v3, s3, train)
+
+        x, c4, k4, v4, s4 = down(x, c3, k3, v3, s3, 128, (2, 2, 2), (0, 1, 1), "conv4_down")
+        x = SparseResBlock(128, name="res4_a")(x, c4, k4, v4, s4, train)
+        x = x4 = SparseResBlock(128, name="res4_b")(x, c4, k4, v4, s4, train)
+
+        s5 = _down_shape(s4, (2, 1, 1), (0, 0, 0), (3, 1, 1))
+        x, c5, k5, v5 = SparseConv3d(
+            128, (2, 1, 1), (0, 0, 0), kernel=(3, 1, 1), name="conv_out"
+        )(x, c4, k4, v4, s4, s5)
+        x = MaskedBatchNorm(name="conv_out_bn")(x, v5, train=train)
+        x = nn.relu(x)
+
+        bev = jax.vmap(lambda xx, kk, vv: _height_compress(xx, kk, vv, s5))(
+            x, k5, v5)
+        if self.return_multiscale:
+            multiscale = {
+                "x_conv1": (x1, coords, valid, keys),
+                "x_conv2": (x2, c2, v2, k2),
+                "x_conv3": (x3, c3, v3, k3),
+                "x_conv4": (x4, c4, v4, k4),
+            }
+            return bev, multiscale
+        return bev
+
+
 BACKBONE_STRIDES = {"x_conv1": 1, "x_conv2": 2, "x_conv3": 4, "x_conv4": 8}
 
 

@@ -81,3 +81,28 @@ def test_sparse_unet_shapes(rng):
     vv = np.asarray(vv)
     assert np.abs(u1[vv]).sum() > 0
     assert np.abs(u1[~vv]).sum() == 0
+
+
+def test_voxel_res_backbone_shapes(rng):
+    from modest_tpu.models.sparse_conv import VoxelResBackBone8x
+    from modest_tpu.models.voxelize import point_voxel_coords, voxelize_sparse
+
+    gs = (16, 16, 32)  # nx, ny, nz
+    pcr = [0, -4, -2, 8, 4, 2]
+    vs = [0.5, 0.5, 0.125]
+    pts = np.concatenate([
+        rng.uniform([0, -4, -2], [8, 4, 2], (256, 3)),
+        rng.rand(256, 1)], 1).astype(np.float32)
+    coords, valid = point_voxel_coords(jnp.asarray(pts), pcr, vs, gs)
+    vc, vf, vv, vk = voxelize_sparse(jnp.asarray(pts), valid, coords, 256,
+                                     gs[0], gs[1], gs[2])
+    shape_zyx = (gs[2] + 1, gs[1], gs[0])
+    m = VoxelResBackBone8x()
+    vf, vc, vk, vv = vf[None], vc[None], vk[None], vv[None]
+    variables = m.init(jax.random.PRNGKey(0), vf, vc, vk, vv, shape_zyx)
+    bev = m.apply(variables, vf, vc, vk, vv, shape_zyx,
+                  mutable=["batch_stats"])[0]
+    # same BEV contract as VoxelBackBone8x: (ny/8, nx/8, nz'*128)
+    assert bev.shape[:3] == (1, 2, 2) and bev.shape[3] % 128 == 0
+    assert np.isfinite(np.asarray(bev)).all()
+    assert np.abs(np.asarray(bev)).sum() > 0
