@@ -27,7 +27,17 @@ def apply_eval(model, model_cfg, variables, points):
     return model.apply(variables, points, train=False)
 
 
+def is_parta2_free(model_cfg) -> bool:
+    return (model_cfg.NAME == "PointRCNN"
+            and model_cfg.get("BACKBONE_3D", None) is not None
+            and model_cfg.BACKBONE_3D.get("NAME", "") == "UNetV2")
+
+
 def compute_loss(out, gt_boxes, model_cfg, num_class: int = 1):
+    if is_parta2_free(model_cfg):
+        from .part_a2 import parta2_free_loss
+
+        return parta2_free_loss(out, gt_boxes, model_cfg, num_class)
     if is_grid_model(model_cfg):
         from .grid_detectors import grid_detector_loss
 

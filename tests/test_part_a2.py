@@ -170,3 +170,67 @@ def test_second_iou_forward_backward(rng):
     out_e = model.apply(variables, pts, train=False, max_voxels=512)
     final = post_process(out_e, cfg)
     assert final["boxes"].shape == (2, 16, 7)
+
+
+def parta2_free_model_cfg():
+    cfg = parta2_model_cfg()
+    cfg.NAME = "PointRCNN"
+    cfg.BACKBONE_3D = Config({"NAME": "UNetV2", "RETURN_ENCODED_TENSOR": False})
+    cfg.POINT_HEAD = Config({
+        "NAME": "PointIntraPartOffsetHead", "CLS_FC": [16], "PART_FC": [16],
+        "REG_FC": [16], "CLASS_AGNOSTIC": False,
+        "TARGET_CONFIG": {
+            "GT_EXTRA_WIDTH": [0.2, 0.2, 0.2],
+            "BOX_CODER": "PointResidualCoder",
+            "BOX_CODER_CONFIG": {"use_mean_size": True,
+                                 "mean_size": [[3.9, 1.6, 1.56]]},
+        },
+        "LOSS_CONFIG": {"LOSS_WEIGHTS": {
+            "point_cls_weight": 1.0, "point_box_weight": 1.0,
+            "point_part_weight": 1.0, "code_weights": [1.0] * 8}},
+    })
+    cfg.ROI_HEAD.DISABLE_PART = True
+    return cfg
+
+
+def test_parta2_free_forward_backward(rng):
+    from modest_tpu.models import part_a2 as pa
+    from tests.test_grid_detectors import _toy_batch
+
+    cfg = parta2_free_model_cfg()
+    pcr = [0, -8, -3, 16, 8, 1]
+    vs, gs = [0.5, 0.5, 0.125], (32, 32, 32)
+    model = pa.PartA2Free(model_cfg=cfg, num_class=1, point_cloud_range=pcr,
+                          voxel_size=vs, grid_size=gs)
+    pts, gt = _toy_batch(rng, (16 / 3, -8 / 3))
+    rngs = {"params": jax.random.PRNGKey(0), "sampler": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, pts, gt, train=True, max_voxels=512)
+    out, _ = model.apply(variables, pts, gt, train=True, max_voxels=512,
+                         rngs={"sampler": jax.random.PRNGKey(2)},
+                         mutable=["batch_stats"])
+    loss, metrics = pa.parta2_free_loss(out, gt, cfg)
+    assert np.isfinite(float(loss)), metrics
+    # voxels inside the toy gt get fg point labels and part targets
+    assert int((np.asarray(out["point_cls_labels"]) > 0).sum()) > 0
+    assert int(np.asarray(out["seg_targets"]).sum()) > 0
+
+    def loss_fn(params):
+        o, _ = model.apply({"params": params, "batch_stats": variables["batch_stats"]},
+                           pts, gt, train=True, max_voxels=512,
+                           rngs={"sampler": jax.random.PRNGKey(2)},
+                           mutable=["batch_stats"])
+        return pa.parta2_free_loss(o, gt, cfg)[0]
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    touched = {jax.tree_util.keystr(p).split("'")[1] for p, _ in flat}
+    assert "part_head" in touched
+    assert any(k.startswith("tower_conv") for k in touched)
+
+    from modest_tpu.models.api import post_process
+    out_e = model.apply(variables, pts, train=False, max_voxels=512)
+    final = post_process(out_e, cfg)
+    assert final["boxes"].shape == (2, 16, 7)
+    assert np.isfinite(np.asarray(final["scores"])).all()
