@@ -202,6 +202,27 @@ def global_rotation(gt_boxes, points, rot_range):
     return gt_boxes, points
 
 
+def random_image_flip_horizontal(image, depth_map, gt_boxes, calib):
+    """50% horizontal image+depth flip; 3D boxes mirror through the image
+    plane (centroid round trip u → W−u) and negate heading — the lidar
+    points stay put, matching the reference's camera-model augmentation
+    (augmentor_utils.py:80-115)."""
+    if not np.random.choice([False, True], replace=False, p=[0.5, 0.5]):
+        return image, depth_map, gt_boxes
+    image = np.ascontiguousarray(np.fliplr(image))
+    if depth_map is not None:
+        depth_map = np.ascontiguousarray(np.fliplr(depth_map))
+    gt_boxes = gt_boxes.copy()
+    if len(gt_boxes):
+        rect = calib.lidar_to_rect(gt_boxes[:, :3])
+        img_pts = calib.project_rect_to_image(rect)
+        u = image.shape[1] - img_pts[:, 0]
+        uvd = np.stack([u, img_pts[:, 1], rect[:, 2]], 1)
+        gt_boxes[:, :3] = calib.rect_to_lidar(calib.project_image_to_rect(uvd))
+        gt_boxes[:, 6] = -gt_boxes[:, 6]
+    return image, depth_map, gt_boxes
+
+
 def global_scaling(gt_boxes, points, scale_range):
     if scale_range[1] - scale_range[0] < 1e-3:
         return gt_boxes, points
@@ -248,6 +269,15 @@ class DataAugmentor:
                 gt, pts = global_rotation(gt, pts, rot)
             elif name == "random_world_scaling":
                 gt, pts = global_scaling(gt, pts, cfg.WORLD_SCALE_RANGE)
+            elif name == "random_image_flip":
+                assert list(cfg.ALONG_AXIS_LIST) == ["horizontal"], cfg.ALONG_AXIS_LIST
+                img, dm, gt = random_image_flip_horizontal(
+                    data_dict["images"], data_dict.get("depth_maps"), gt,
+                    data_dict["calib"],
+                )
+                data_dict["images"] = img
+                if dm is not None:
+                    data_dict["depth_maps"] = dm
             else:
                 raise NotImplementedError(name)
             data_dict["gt_boxes"], data_dict["points"] = gt, pts

@@ -270,9 +270,61 @@ class KittiDataset:
             points = points[fov]
         input_dict["points"] = points
 
+        item_list = list(self.dataset_cfg.get("GET_ITEM_LIST", ["points"]))
+        if "images" in item_list:
+            input_dict["images"] = self.get_image(sample_idx)
+        if "depth_maps" in item_list:
+            input_dict["depth_maps"] = self.get_depth_map(points, calib)
+        if "calib_matricies" in item_list:
+            l2c = np.eye(4, dtype=np.float32)
+            l2c[:3, :3] = calib.R0 @ calib.V2C[:, :3]
+            l2c[:3, 3] = calib.R0 @ calib.V2C[:, 3]
+            input_dict["trans_lidar_to_cam"] = l2c
+            input_dict["trans_cam_to_img"] = calib.P2.astype(np.float32)
+        if "gt_boxes2d" in item_list and "annos" in info:
+            input_dict["gt_boxes2d"] = np.asarray(
+                drop_info_with_name(info["annos"], name="DontCare")["bbox"],
+                np.float32).reshape(-1, 4)
+
         data_dict = self.prepare_data(input_dict)
         data_dict["image_shape"] = img_shape
         return data_dict
+
+    def _image_pad(self):
+        return tuple(self.dataset_cfg.get("IMAGE_PAD", (384, 1248)))
+
+    def get_image(self, idx):
+        """image_2 PNG → (H_pad, W_pad, 3) f32 in [0, 1], zero bottom/right
+        padding to the static IMAGE_PAD shape (XLA needs fixed shapes; the
+        reference pads per-batch to the max size, dataset.py get_image)."""
+        from PIL import Image
+
+        img = np.asarray(
+            Image.open(self.root_split_path / "image_2" / f"{idx}.png").convert("RGB"),
+            np.float32) / 255.0
+        hp, wp = self._image_pad()
+        out = np.zeros((hp, wp, 3), np.float32)
+        h, w = min(img.shape[0], hp), min(img.shape[1], wp)
+        out[:h, :w] = img[:h, :w]
+        return out
+
+    def get_depth_map(self, points, calib):
+        """(H_pad, W_pad) f32 depth map z-buffered from the lidar scan
+        (0 = no return). Deviation from the reference's precomputed
+        training/depth_2 PNGs (generated offline from the same projection,
+        kitti_dataset.get_depth_map): computing it on the fly drops the
+        extra preprocessing artifact with identical information."""
+        hp, wp = self._image_pad()
+        rect = calib.lidar_to_rect(points[:, :3])
+        img_pts = calib.project_rect_to_image(rect)
+        depth = rect[:, 2]
+        u = np.round(img_pts[:, 0]).astype(np.int64)
+        v = np.round(img_pts[:, 1]).astype(np.int64)
+        ok = (depth > 0) & (u >= 0) & (u < wp) & (v >= 0) & (v < hp)
+        dm = np.full(hp * wp, np.inf, np.float32)
+        np.minimum.at(dm, v[ok] * wp + u[ok], depth[ok])
+        dm[~np.isfinite(dm)] = 0.0
+        return dm.reshape(hp, wp)
 
     def prepare_data(self, data_dict):
         """Augment → class-filter → encode → process (reference dataset.py:109-170)."""

@@ -57,6 +57,16 @@ def collate_batch(samples: list[dict], max_gt: int = MAX_GT_DEFAULT) -> dict:
     if "image_shape" in samples[0]:
         batch["image_shape"] = [s["image_shape"] for s in samples]
     batch["points"] = np.stack([s["points"] for s in samples]).astype(np.float32)
+    # camera-model extras (CaDDN): stacked when the dataset provides them
+    for key in ("images", "depth_maps", "trans_lidar_to_cam", "trans_cam_to_img"):
+        if key in samples[0]:
+            batch[key] = np.stack([s[key] for s in samples]).astype(np.float32)
+    if "gt_boxes2d" in samples[0]:
+        b2d = np.zeros((len(samples), max_gt, 4), np.float32)  # static shape
+        for i, s in enumerate(samples):
+            n = min(len(s["gt_boxes2d"]), max_gt)
+            b2d[i, :n] = s["gt_boxes2d"][:n]
+        batch["gt_boxes2d"] = b2d
     if "gt_boxes" in samples[0]:
         width = max((s["gt_boxes"].shape[1] for s in samples), default=8)
         gt = np.zeros((len(samples), max_gt, width), np.float32)

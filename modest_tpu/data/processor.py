@@ -104,7 +104,9 @@ class DataProcessor:
         self.steps = []
         for cfg in processor_cfgs:
             self.steps.append((cfg.NAME, cfg))
-            if cfg.NAME == "transform_points_to_voxels":
+            if cfg.NAME in ("transform_points_to_voxels", "calculate_grid_size"):
+                # calculate_grid_size: grid dims only, no voxelization
+                # (reference CaDDN data config)
                 grid = (self.point_cloud_range[3:6] - self.point_cloud_range[0:3]) / np.array(
                     cfg.VOXEL_SIZE
                 )
@@ -128,6 +130,12 @@ class DataProcessor:
                 # voxel/grid geometry is recorded here (see models/voxelize.py)
                 data_dict["max_voxels"] = int(cfg.MAX_NUMBER_OF_VOXELS[self.mode])
                 data_dict["max_points_per_voxel"] = int(cfg.MAX_POINTS_PER_VOXEL)
+            elif name == "calculate_grid_size":
+                pass  # geometry recorded in __init__
+            elif name == "downsample_depth_map":
+                f = int(cfg.get("DOWNSAMPLE_FACTOR", 4))
+                if data_dict.get("depth_maps") is not None:
+                    data_dict["depth_maps"] = data_dict["depth_maps"][::f, ::f]
             else:
                 raise NotImplementedError(name)
         return data_dict

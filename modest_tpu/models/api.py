@@ -12,9 +12,23 @@ def is_grid_model(model_cfg) -> bool:
 
 
 def apply_train(model, model_cfg, variables, points, gt_boxes, rng):
-    """Forward in train mode → (outputs, new_batch_stats)."""
+    """Forward in train mode → (outputs, new_batch_stats).
+
+    `points` is the batched point tensor for lidar models, or a dict of
+    camera inputs (images, trans_lidar_to_cam, trans_cam_to_img, and the
+    depth/2D-box supervision) for CaDDN.
+    """
     kwargs = dict(mutable=["batch_stats"])
-    if is_grid_model(model_cfg):
+    if model_cfg.NAME == "CaDDN":
+        out, mut = model.apply(
+            variables, points["images"], points["trans_lidar_to_cam"],
+            points["trans_cam_to_img"], gt_boxes, train=True, **kwargs)
+        # depth/2D-box supervision rides along to caddn_loss
+        if "depth_maps" in points:
+            out["depth_maps"] = points["depth_maps"]
+        if "gt_boxes2d" in points:
+            out["gt_boxes2d"] = points["gt_boxes2d"]
+    elif is_grid_model(model_cfg):
         out, mut = model.apply(variables, points, gt_boxes, train=True, **kwargs)
     else:
         out, mut = model.apply(
@@ -24,6 +38,10 @@ def apply_train(model, model_cfg, variables, points, gt_boxes, rng):
 
 
 def apply_eval(model, model_cfg, variables, points):
+    if model_cfg.NAME == "CaDDN":
+        return model.apply(variables, points["images"],
+                           points["trans_lidar_to_cam"],
+                           points["trans_cam_to_img"], train=False)
     return model.apply(variables, points, train=False)
 
 

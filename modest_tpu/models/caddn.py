@@ -228,16 +228,33 @@ class CaDDN(nn.Module):
 
 
 def caddn_depth_loss(depth_logits, depth_maps, d_min, d_max, num_bins,
-                     stride: int = 4):
+                     stride: int = 4, gt_boxes2d=None, fg_weight: float = 13.0,
+                     bg_weight: float = 1.0):
     """Focal loss on the categorical depth distribution vs lidar depth maps
-    (reference ffe/depth_ffe.get_loss). depth_maps (B, H, W) at image
-    resolution, 0 = no return; logits at stride-4 resolution."""
+    (reference ffe DDNLoss). depth_maps (B, H, W): full image resolution
+    (subsampled here) or already at the logits' stride-4 resolution
+    (downsample_depth_map processor); 0 = no return. gt_boxes2d (B, M, 4)
+    [u1 v1 u2 v2] in full-image pixels upweights foreground pixels
+    (reference fg_weight 13 / bg_weight 1)."""
     b, hf, wf, _ = depth_logits.shape
-    dm = depth_maps[:, ::stride, ::stride][:, :hf, :wf]
+    if depth_maps.shape[1] > hf:
+        dm = depth_maps[:, ::stride, ::stride][:, :hf, :wf]
+    else:
+        dm = depth_maps[:, :hf, :wf]
     target = depth_to_lid_target(dm, d_min, d_max, num_bins)  # (B, hf, wf)
     valid = dm > 0
-    one_hot = jax.nn.one_hot(target, num_bins + 1)
     w = valid.astype(jnp.float32)
+    if gt_boxes2d is not None:
+        bx = gt_boxes2d / stride
+        real = jnp.abs(gt_boxes2d).sum(-1) > 0  # (B, M)
+        u = jnp.arange(wf, dtype=jnp.float32)[None, None, None, :]  # (1,1,1,wf)
+        v = jnp.arange(hf, dtype=jnp.float32)[None, None, :, None]  # (1,1,hf,1)
+        inside = ((u >= bx[..., 0, None, None]) & (u < bx[..., 2, None, None])
+                  & (v >= bx[..., 1, None, None]) & (v < bx[..., 3, None, None])
+                  & real[..., None, None])
+        fg = inside.any(axis=1)  # (B, hf, wf)
+        w = w * jnp.where(fg, fg_weight, bg_weight)
+    one_hot = jax.nn.one_hot(target, num_bins + 1)
     per = sigmoid_focal_loss(depth_logits, one_hot, w)
     return per.sum() / jnp.maximum(w.sum(), 1.0)
 
@@ -245,13 +262,19 @@ def caddn_depth_loss(depth_logits, depth_maps, d_min, d_max, num_bins,
 def caddn_loss(out, gt_boxes, cfg, num_class: int = 1, depth_maps=None):
     loss1, metrics = grid_detector_loss(out, cfg, num_class)
     total = loss1
+    if depth_maps is None:
+        depth_maps = out.get("depth_maps")
     if depth_maps is not None:
         ffe = cfg.FFE
+        lw = ffe.LOSS_CONFIG.LOSS_WEIGHTS
         ld = caddn_depth_loss(
             out["depth_logits"], depth_maps,
             float(ffe.DISC_CFG.depth_min), float(ffe.DISC_CFG.depth_max),
             int(ffe.DISC_CFG.num_bins),
-        ) * float(ffe.LOSS_CONFIG.LOSS_WEIGHTS.ddn_loss_weight)
+            gt_boxes2d=out.get("gt_boxes2d"),
+            fg_weight=float(lw.get("fg_weight", 13.0)),
+            bg_weight=float(lw.get("bg_weight", 1.0)),
+        ) * float(lw.ddn_loss_weight)
         total = total + ld
         metrics = dict(metrics)
         metrics.update(loss=total, depth_loss=ld)

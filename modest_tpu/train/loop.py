@@ -15,6 +15,17 @@ from .checkpoint import save_checkpoint
 from .optim import current_lr
 from .state import make_eval_step, make_train_step
 
+_CAMERA_KEYS = ("images", "trans_lidar_to_cam", "trans_cam_to_img",
+                "depth_maps", "gt_boxes2d")
+
+
+def model_inputs(batch):
+    """Batch dict → the `points` argument of the train/eval steps: the point
+    tensor for lidar models, a dict of camera inputs for CaDDN batches."""
+    if "images" in batch:
+        return {k: jnp.asarray(batch[k]) for k in _CAMERA_KEYS if k in batch}
+    return jnp.asarray(batch["points"])
+
 
 def train_model(model, model_cfg, optimizer, state, loader, *, mesh=None,
                 start_epoch: int, total_epochs: int, ckpt_manager=None,
@@ -38,7 +49,7 @@ def train_model(model, model_cfg, optimizer, state, loader, *, mesh=None,
         last_metrics = {}
         for batch in prefetch_to_device(loader, mesh, size=2):
             state, metrics = train_step(
-                state, jnp.asarray(batch["points"]), jnp.asarray(batch["gt_boxes"]), rng
+                state, model_inputs(batch), jnp.asarray(batch["gt_boxes"]), rng
             )
             n_it += 1
             if n_it % log_interval == 0:
@@ -123,7 +134,7 @@ def eval_one_epoch(model, model_cfg, state, loader, dataset, class_names, *,
     t0 = time.time()
     n_frames = 0
     for batch in prefetch_to_device(loader, mesh, size=2):
-        final = eval_step(state, jnp.asarray(batch["points"]))
+        final = eval_step(state, model_inputs(batch))
         final = jax.device_get(final)
         preds = _trim_predictions(final, batch)
         if "gt_boxes" in batch:

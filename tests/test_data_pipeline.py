@@ -123,3 +123,77 @@ def test_prediction_dicts_roundtrip(kitti_root):
     )
     back = box_np.boxes3d_kitti_camera_to_lidar(cam, batch["calib"][0])
     np.testing.assert_allclose(back[:, :6], boxes[:, :6], atol=1e-4)
+
+
+def test_camera_items_collate_and_caddn_step(kitti_root):
+    """GET_ITEM_LIST camera path: images/depth/calib load with static
+    shapes, survive collate, and drive one numeric CaDDN train step
+    (apply_train dict input → depth+2D-box supervised loss → finite grads)."""
+    import jax
+    import jax.numpy as jnp
+
+    root, _ = kitti_root
+    cfg = data_cfg(num_points=1024)
+    cfg.GET_ITEM_LIST = ["points", "images", "depth_maps", "calib_matricies",
+                         "gt_boxes2d"]
+    cfg.IMAGE_PAD = [256, 1216]
+    cfg.DATA_PROCESSOR.append(Config({"NAME": "calculate_grid_size",
+                                      "VOXEL_SIZE": [0.5, 0.5, 0.5]}))
+    cfg.DATA_PROCESSOR.append(Config({"NAME": "downsample_depth_map",
+                                      "DOWNSAMPLE_FACTOR": 4}))
+    cfg.DATA_AUGMENTOR = Config({
+        "DISABLE_AUG_LIST": ["placeholder"],
+        "AUG_CONFIG_LIST": [Config({"NAME": "random_image_flip",
+                                    "ALONG_AXIS_LIST": ["horizontal"]})],
+    })
+    np.random.seed(0)
+    ds = KittiDataset(cfg, ["Dynamic"], training=True, root_path=root)
+    s = ds[0]
+    assert s["images"].shape == (256, 1216, 3)
+    assert s["depth_maps"].shape == (64, 304)
+    assert s["trans_lidar_to_cam"].shape == (4, 4)
+    assert s["trans_cam_to_img"].shape == (3, 4)
+    assert (s["depth_maps"] > 0).sum() > 50  # lidar actually projected
+    assert s["gt_boxes2d"].shape[1] == 4
+    assert tuple(ds.grid_size) == (181, 160, 8)
+
+    from modest_tpu.data.loader import collate_batch
+    from modest_tpu.train.loop import model_inputs
+
+    batch = collate_batch([s, ds[1 % len(ds)]], max_gt=8)
+    assert batch["images"].shape == (2, 256, 1216, 3)
+    assert batch["depth_maps"].shape == (2, 64, 304)
+    assert batch["gt_boxes2d"].shape == (2, 8, 4)
+
+    from tests.test_caddn import caddn_model_cfg
+    from modest_tpu.models import build_network, api
+    import types
+
+    mcfg = caddn_model_cfg()
+    dataset_ns = types.SimpleNamespace(
+        point_cloud_range=np.array([0, -8, -3, 16, 8, 1], np.float32),
+        voxel_size=[0.5, 0.5, 0.5], grid_size=np.array([32, 32, 8]),
+        class_names=["Dynamic"])
+    model = build_network(mcfg, num_class=1, dataset=dataset_ns)
+    inputs = model_inputs(batch)
+    assert isinstance(inputs, dict) and "images" in inputs
+    gt = jnp.asarray(batch["gt_boxes"])
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           inputs["images"], inputs["trans_lidar_to_cam"],
+                           inputs["trans_cam_to_img"], gt, train=True)
+
+    def loss_fn(params):
+        out, _ = api.apply_train(
+            model, mcfg, {"params": params,
+                          "batch_stats": variables["batch_stats"]},
+            inputs, gt, jax.random.PRNGKey(1))
+        assert "depth_maps" in out and "gt_boxes2d" in out
+        loss, metrics = api.compute_loss(out, gt, mcfg, 1)
+        return loss, metrics
+
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"])
+    assert np.isfinite(float(loss))
+    assert "depth_loss" in metrics and np.isfinite(float(metrics["depth_loss"]))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree_util.tree_leaves(grads))

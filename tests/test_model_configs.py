@@ -28,7 +28,7 @@ def _fake_dataset(cfg):
     pcr = np.asarray(dc.POINT_CLOUD_RANGE, np.float32)
     voxel_size = grid_size = None
     for proc in dc.get("DATA_PROCESSOR", []):
-        if proc.NAME == "transform_points_to_voxels":
+        if proc.NAME in ("transform_points_to_voxels", "calculate_grid_size"):
             voxel_size = list(proc.VOXEL_SIZE)
     if voxel_size is None and dc.get("VOXEL_SIZE", None):
         voxel_size = list(dc.VOXEL_SIZE)
@@ -57,12 +57,28 @@ def test_config_builds_and_traces(cfg_path):
         bcc = dh.TARGET_ASSIGNER_CONFIG.get("BOX_CODER_CONFIG", None)
         if bcc and bcc.get("code_size", 7) > 7:
             gt_width = int(bcc.get("code_size")) + 1
-    pts = jax.ShapeDtypeStruct((1, n_pts, 4), jnp.float32)
     gt = jax.ShapeDtypeStruct((1, 12, gt_width), jnp.float32)
     k0, k1 = jax.random.PRNGKey(0), jax.random.PRNGKey(1)
 
-    def init_fn(p, g):
-        return model.init({"params": k0, "sampler": k1}, p, g, train=True)
+    if cfg.MODEL.NAME == "CaDDN":
+        hp, wp = (int(v) for v in cfg.DATA_CONFIG.get("IMAGE_PAD", (384, 1248)))
+        pts = {
+            "images": jax.ShapeDtypeStruct((1, hp, wp, 3), jnp.float32),
+            "trans_lidar_to_cam": jax.ShapeDtypeStruct((1, 4, 4), jnp.float32),
+            "trans_cam_to_img": jax.ShapeDtypeStruct((1, 3, 4), jnp.float32),
+            "depth_maps": jax.ShapeDtypeStruct((1, hp // 4, wp // 4), jnp.float32),
+            "gt_boxes2d": jax.ShapeDtypeStruct((1, 12, 4), jnp.float32),
+        }
+
+        def init_fn(p, g):
+            return model.init({"params": k0}, p["images"],
+                              p["trans_lidar_to_cam"], p["trans_cam_to_img"],
+                              g, train=True)
+    else:
+        pts = jax.ShapeDtypeStruct((1, n_pts, 4), jnp.float32)
+
+        def init_fn(p, g):
+            return model.init({"params": k0, "sampler": k1}, p, g, train=True)
 
     variables = jax.eval_shape(init_fn, pts, gt)
     n_params = sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(
