@@ -460,6 +460,68 @@ def get_official_eval_result(gt_annos, dt_annos, current_classes):
     return result, ret_dict
 
 
+COCO_CLASS_RANGES = {
+    0: [0.5, 0.95, 10], 1: [0.25, 0.7, 10], 2: [0.25, 0.7, 10],
+    3: [0.5, 0.95, 10], 4: [0.25, 0.7, 10], 5: [0.5, 0.95, 10],
+    6: [0.5, 0.95, 10],
+}
+
+
+def do_coco_style_eval(gt_annos, dt_annos, current_classes, overlap_ranges,
+                       compute_aos=False):
+    """COCO-style AP: mean over a linspace of IoU thresholds per class
+    (reference eval.py:626-643). overlap_ranges (3, metric, class) =
+    [start, stop, num] per (metric, class)."""
+    min_overlaps = np.zeros([10, *overlap_ranges.shape[1:]])
+    for i in range(overlap_ranges.shape[1]):
+        for j in range(overlap_ranges.shape[2]):
+            start, stop, num = overlap_ranges[:, i, j]
+            min_overlaps[:, i, j] = np.linspace(start, stop, int(num))
+    (mAP_bbox, mAP_bev, mAP_3d, mAP_aos, *_r40) = do_eval(
+        gt_annos, dt_annos, current_classes, min_overlaps, compute_aos)
+    mAP_bbox = mAP_bbox.mean(-1)
+    mAP_bev = mAP_bev.mean(-1)
+    mAP_3d = mAP_3d.mean(-1)
+    if mAP_aos is not None:
+        mAP_aos = mAP_aos.mean(-1)
+    return mAP_bbox, mAP_bev, mAP_3d, mAP_aos
+
+
+def get_coco_eval_result(gt_annos, dt_annos, current_classes):
+    """COCO-style KITTI result (reference eval.py:754-833, dormant in the
+    reference's drivers but part of its eval surface)."""
+    if not isinstance(current_classes, (list, tuple)):
+        current_classes = [current_classes]
+    classes_int = [NAME_TO_CLASS[c] if isinstance(c, str) else c
+                   for c in current_classes]
+    overlap_ranges = np.zeros([3, 3, len(classes_int)])
+    for i, curcls in enumerate(classes_int):
+        overlap_ranges[:, :, i] = np.array(COCO_CLASS_RANGES[curcls])[:, None]
+    compute_aos = _compute_aos_flag(dt_annos)
+    mAPbbox, mAPbev, mAP3d, mAPaos = do_coco_style_eval(
+        gt_annos, dt_annos, classes_int, overlap_ranges, compute_aos)
+    result = ""
+    ret_dict = {}
+    for j, curcls in enumerate(classes_int):
+        name = CLASS_TO_NAME[curcls]
+        start, stop, num = COCO_CLASS_RANGES[curcls]
+        step = (stop - start) / (num - 1)
+        result += f"{name} coco AP@{start:.2f}:{step:.2f}:{stop:.2f}:\n"
+        result += (f"bbox AP:{mAPbbox[j, 0]:.2f}, {mAPbbox[j, 1]:.2f}, "
+                   f"{mAPbbox[j, 2]:.2f}\n")
+        result += (f"bev  AP:{mAPbev[j, 0]:.2f}, {mAPbev[j, 1]:.2f}, "
+                   f"{mAPbev[j, 2]:.2f}\n")
+        result += (f"3d   AP:{mAP3d[j, 0]:.2f}, {mAP3d[j, 1]:.2f}, "
+                   f"{mAP3d[j, 2]:.2f}\n")
+        if compute_aos:
+            result += (f"aos  AP:{mAPaos[j, 0]:.2f}, {mAPaos[j, 1]:.2f}, "
+                       f"{mAPaos[j, 2]:.2f}\n")
+        for d, dn in enumerate(["easy", "moderate", "hard"]):
+            ret_dict[f"{name}_coco_3d/{dn}"] = mAP3d[j, d]
+            ret_dict[f"{name}_coco_bev/{dn}"] = mAPbev[j, d]
+    return result, ret_dict
+
+
 def filter_det_range(dets, close, far):
     """Keep boxes with camera depth |z| in (close, far] (reference :816-831)."""
     dets = deepcopy(dets)

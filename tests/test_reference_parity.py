@@ -463,3 +463,33 @@ def test_pp_smoothing_parity(ref_pointcloud_utils):
     got = smooth_pp_score(ptc, pp, neighbor_type="knn", n_neighbors=12,
                           num_iterations=5, row_chunk=256)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_coco_style_eval_parity(ref_eval):
+    """do_coco_style_eval (IoU-linspace-averaged AP) vs the reference matcher.
+
+    The reference's own do_coco_style_eval is dead code in its tree (it
+    unpacks 4 values from a do_eval that returns 8), so the parity anchor is
+    the reference do_eval evaluated at the same IoU linspace, averaged the
+    way eval.py:626-643 intends."""
+    from modest_tpu.eval.kitti_eval import do_coco_style_eval
+
+    rng = np.random.RandomState(4)
+    gt_annos, dt_annos = _make_annos(rng, n_frames=6, cls="Car")
+    overlap_ranges = np.zeros([3, 3, 1])
+    overlap_ranges[:, :, 0] = np.array([0.5, 0.95, 10])[:, None]
+    min_overlaps = np.zeros([10, 3, 1])
+    for i in range(3):
+        min_overlaps[:, i, 0] = np.linspace(0.5, 0.95, 10)
+    ref_out = ref_eval.do_eval(gt_annos, dt_annos, [0], min_overlaps, False)
+    ref_coco = [None if r is None else np.asarray(r).mean(-1)
+                for r in ref_out[:4]]
+    our_out = do_coco_style_eval(gt_annos, dt_annos, [0], overlap_ranges,
+                                 False)
+    for r, o, name in zip(ref_coco, our_out, ["bbox", "bev", "3d", "aos"]):
+        if r is None or o is None:
+            assert (r is None or np.all(np.asarray(r) == 0)) and o is None, name
+            continue
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=1e-6,
+                                   err_msg=name)
