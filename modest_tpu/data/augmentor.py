@@ -292,4 +292,6 @@ class DataAugmentor:
             m = data_dict.pop("gt_boxes_mask")
             data_dict["gt_boxes"] = data_dict["gt_boxes"][m]
             data_dict["gt_names"] = data_dict["gt_names"][m]
+            if data_dict.get("gt_boxes2d") is not None:
+                data_dict["gt_boxes2d"] = data_dict["gt_boxes2d"][m[: len(data_dict["gt_boxes2d"])]]
         return data_dict

@@ -337,6 +337,8 @@ class KittiDataset:
             selected = [i for i, n in enumerate(data_dict["gt_names"]) if n in self.class_names]
             data_dict["gt_boxes"] = data_dict["gt_boxes"][selected]
             data_dict["gt_names"] = data_dict["gt_names"][selected]
+            if data_dict.get("gt_boxes2d") is not None:
+                data_dict["gt_boxes2d"] = data_dict["gt_boxes2d"][selected]
             gt_classes = np.array(
                 [self.class_names.index(n) + 1 for n in data_dict["gt_names"]], np.int32
             )

@@ -133,9 +133,16 @@ class DataProcessor:
             elif name == "calculate_grid_size":
                 pass  # geometry recorded in __init__
             elif name == "downsample_depth_map":
+                # f×f block mean, the reference's skimage
+                # downscale_local_mean semantics (no-return zeros mix into
+                # the mean exactly as there)
                 f = int(cfg.get("DOWNSAMPLE_FACTOR", 4))
-                if data_dict.get("depth_maps") is not None:
-                    data_dict["depth_maps"] = data_dict["depth_maps"][::f, ::f]
+                dm = data_dict.get("depth_maps")
+                if dm is not None:
+                    h, w = (dm.shape[0] // f) * f, (dm.shape[1] // f) * f
+                    data_dict["depth_maps"] = (
+                        dm[:h, :w].reshape(h // f, f, w // f, f).mean(axis=(1, 3))
+                    )
             else:
                 raise NotImplementedError(name)
         return data_dict

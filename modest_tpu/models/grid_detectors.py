@@ -162,7 +162,12 @@ def assign_anchor_targets(anchors, gt_boxes, box_coder: ResidualCoder,
         a2g_arg = ov.argmax(axis=1)
         g2a_max = jnp.where(gt_valid, ov.max(axis=0), -1.0)
         g2a_max = jnp.where(g2a_max == 0, -1.0, g2a_max)  # empty gt never forces
-        force = (ov == g2a_max[None, :]).any(axis=1) & (a2g_max > 0)
+        # force-match only against REAL (and class-matched) gt columns with a
+        # positive best overlap: padded gt columns carry the -1.0 sentinel,
+        # which every anchor's ov entry equals — without the pair_ok gate any
+        # anchor with any positive IoU anywhere would turn foreground
+        force = ((ov == g2a_max[None, :]) & pair_ok
+                 & (g2a_max > 0)[None, :]).any(axis=1) & (a2g_max > 0)
         pos = a2g_max >= matched_thr
         bg = a2g_max < unmatched_thr
         cls_of_anchor = cls[a2g_arg]

@@ -208,6 +208,44 @@ def _down_shape(shape, stride, padding, kernel=(3, 3, 3)):
     )
 
 
+
+def _down_stage(x, coords, keys, valid, s_in, cout, stride, padding, name,
+                train):
+    """Strided SparseConv3d + BN + ReLU stage opener (shared by both
+    8x backbones; submodule names flow through unchanged)."""
+    s_out = _down_shape(s_in, stride, padding)
+    x, c, k, v = SparseConv3d(cout, stride, padding, name=name)(
+        x, coords, keys, valid, s_in, s_out
+    )
+    x = MaskedBatchNorm(name=name + "_bn")(x, v, train=train)
+    return nn.relu(x), c, k, v, s_out
+
+
+def _conv_out_bev(x, c4, k4, v4, s4, train):
+    """conv_out (3,1,1)/(2,1,1) + BN + ReLU + height compression → BEV."""
+    s5 = _down_shape(s4, (2, 1, 1), (0, 0, 0), (3, 1, 1))
+    x, c5, k5, v5 = SparseConv3d(
+        128, (2, 1, 1), (0, 0, 0), kernel=(3, 1, 1), name="conv_out"
+    )(x, c4, k4, v4, s4, s5)
+    x = MaskedBatchNorm(name="conv_out_bn")(x, v5, train=train)
+    x = nn.relu(x)
+    return jax.vmap(lambda xx, kk, vv: _height_compress(xx, kk, vv, s5))(
+        x, k5, v5)
+
+
+def _multiscale_dict(x1, coords, valid, keys, x2, c2, v2, k2, x3, c3, v3, k3,
+                     x4, c4, v4, k4):
+    # strides are static: x_conv1=1, x_conv2=2, x_conv3=4, x_conv4=8
+    # (kept out of the return value so vmap doesn't batch them);
+    # keys are sorted flat coords — valid input for ops.voxel_query
+    return {
+        "x_conv1": (x1, coords, valid, keys),
+        "x_conv2": (x2, c2, v2, k2),
+        "x_conv3": (x3, c3, v3, k3),
+        "x_conv4": (x4, c4, v4, k4),
+    }
+
+
 class VoxelBackBone8x(nn.Module):
     """spconv VoxelBackBone8x equivalent (reference spconv_backbone.py:68-180).
 
@@ -226,48 +264,26 @@ class VoxelBackBone8x(nn.Module):
         x = SparseBasicBlock(16, name="conv_input")(feats, coords, keys, valid, s1, train)
         x = x1 = SparseBasicBlock(16, name="conv1")(x, coords, keys, valid, s1, train)
 
-        def down(x, coords, keys, valid, s_in, cout, stride, padding, name):
-            s_out = _down_shape(s_in, stride, padding)
-            x, c, k, v = SparseConv3d(cout, stride, padding, name=name)(
-                x, coords, keys, valid, s_in, s_out
-            )
-            x = MaskedBatchNorm(name=name + "_bn")(x, v, train=train)
-            return nn.relu(x), c, k, v, s_out
-
-        x, c2, k2, v2, s2 = down(x, coords, keys, valid, s1, 32, (2, 2, 2), (1, 1, 1), "conv2_down")
+        x, c2, k2, v2, s2 = _down_stage(x, coords, keys, valid, s1, 32,
+                                        (2, 2, 2), (1, 1, 1), "conv2_down", train)
         x = SparseBasicBlock(32, name="conv2_a")(x, c2, k2, v2, s2, train)
         x = x2 = SparseBasicBlock(32, name="conv2_b")(x, c2, k2, v2, s2, train)
 
-        x, c3, k3, v3, s3 = down(x, c2, k2, v2, s2, 64, (2, 2, 2), (1, 1, 1), "conv3_down")
+        x, c3, k3, v3, s3 = _down_stage(x, c2, k2, v2, s2, 64,
+                                        (2, 2, 2), (1, 1, 1), "conv3_down", train)
         x = SparseBasicBlock(64, name="conv3_a")(x, c3, k3, v3, s3, train)
         x = x3 = SparseBasicBlock(64, name="conv3_b")(x, c3, k3, v3, s3, train)
 
-        x, c4, k4, v4, s4 = down(x, c3, k3, v3, s3, 64, (2, 2, 2), (0, 1, 1), "conv4_down")
+        x, c4, k4, v4, s4 = _down_stage(x, c3, k3, v3, s3, 64,
+                                        (2, 2, 2), (0, 1, 1), "conv4_down", train)
         x = SparseBasicBlock(64, name="conv4_a")(x, c4, k4, v4, s4, train)
         x = x4 = SparseBasicBlock(64, name="conv4_b")(x, c4, k4, v4, s4, train)
 
-        # conv_out: kernel (3,1,1) stride (2,1,1) padding 0 → z: 5→2
-        s5 = _down_shape(s4, (2, 1, 1), (0, 0, 0), (3, 1, 1))
-        x, c5, k5, v5 = SparseConv3d(
-            128, (2, 1, 1), (0, 0, 0), kernel=(3, 1, 1), name="conv_out"
-        )(x, c4, k4, v4, s4, s5)
-        x = MaskedBatchNorm(name="conv_out_bn")(x, v5, train=train)
-        x = nn.relu(x)
-
-        # HeightCompression: scatter to dense (nz', ny', nx', C) → (ny', nx', nz'*C)
-        bev = jax.vmap(lambda xx, kk, vv: _height_compress(xx, kk, vv, s5))(
-            x, k5, v5)
+        bev = _conv_out_bev(x, c4, k4, v4, s4, train)
         if self.return_multiscale:
-            # strides are static: x_conv1=1, x_conv2=2, x_conv3=4, x_conv4=8
-            # (kept out of the return value so vmap doesn't batch them);
-            # keys are sorted flat coords — valid input for ops.voxel_query
-            multiscale = {
-                "x_conv1": (x1, coords, valid, keys),
-                "x_conv2": (x2, c2, v2, k2),
-                "x_conv3": (x3, c3, v3, k3),
-                "x_conv4": (x4, c4, v4, k4),
-            }
-            return bev, multiscale
+            return bev, _multiscale_dict(x1, coords, valid, keys,
+                                         x2, c2, v2, k2, x3, c3, v3, k3,
+                                         x4, c4, v4, k4)
         return bev
 
 
@@ -304,43 +320,26 @@ class VoxelResBackBone8x(nn.Module):
         x = SparseResBlock(16, name="res1_a")(x, coords, keys, valid, s1, train)
         x = x1 = SparseResBlock(16, name="res1_b")(x, coords, keys, valid, s1, train)
 
-        def down(x, coords, keys, valid, s_in, cout, stride, padding, name):
-            s_out = _down_shape(s_in, stride, padding)
-            x, c, k, v = SparseConv3d(cout, stride, padding, name=name)(
-                x, coords, keys, valid, s_in, s_out
-            )
-            x = MaskedBatchNorm(name=name + "_bn")(x, v, train=train)
-            return nn.relu(x), c, k, v, s_out
-
-        x, c2, k2, v2, s2 = down(x, coords, keys, valid, s1, 32, (2, 2, 2), (1, 1, 1), "conv2_down")
+        x, c2, k2, v2, s2 = _down_stage(x, coords, keys, valid, s1, 32,
+                                        (2, 2, 2), (1, 1, 1), "conv2_down", train)
         x = SparseResBlock(32, name="res2_a")(x, c2, k2, v2, s2, train)
         x = x2 = SparseResBlock(32, name="res2_b")(x, c2, k2, v2, s2, train)
 
-        x, c3, k3, v3, s3 = down(x, c2, k2, v2, s2, 64, (2, 2, 2), (1, 1, 1), "conv3_down")
+        x, c3, k3, v3, s3 = _down_stage(x, c2, k2, v2, s2, 64,
+                                        (2, 2, 2), (1, 1, 1), "conv3_down", train)
         x = SparseResBlock(64, name="res3_a")(x, c3, k3, v3, s3, train)
         x = x3 = SparseResBlock(64, name="res3_b")(x, c3, k3, v3, s3, train)
 
-        x, c4, k4, v4, s4 = down(x, c3, k3, v3, s3, 128, (2, 2, 2), (0, 1, 1), "conv4_down")
+        x, c4, k4, v4, s4 = _down_stage(x, c3, k3, v3, s3, 128,
+                                        (2, 2, 2), (0, 1, 1), "conv4_down", train)
         x = SparseResBlock(128, name="res4_a")(x, c4, k4, v4, s4, train)
         x = x4 = SparseResBlock(128, name="res4_b")(x, c4, k4, v4, s4, train)
 
-        s5 = _down_shape(s4, (2, 1, 1), (0, 0, 0), (3, 1, 1))
-        x, c5, k5, v5 = SparseConv3d(
-            128, (2, 1, 1), (0, 0, 0), kernel=(3, 1, 1), name="conv_out"
-        )(x, c4, k4, v4, s4, s5)
-        x = MaskedBatchNorm(name="conv_out_bn")(x, v5, train=train)
-        x = nn.relu(x)
-
-        bev = jax.vmap(lambda xx, kk, vv: _height_compress(xx, kk, vv, s5))(
-            x, k5, v5)
+        bev = _conv_out_bev(x, c4, k4, v4, s4, train)
         if self.return_multiscale:
-            multiscale = {
-                "x_conv1": (x1, coords, valid, keys),
-                "x_conv2": (x2, c2, v2, k2),
-                "x_conv3": (x3, c3, v3, k3),
-                "x_conv4": (x4, c4, v4, k4),
-            }
-            return bev, multiscale
+            return bev, _multiscale_dict(x1, coords, valid, keys,
+                                         x2, c2, v2, k2, x3, c3, v3, k3,
+                                         x4, c4, v4, k4)
         return bev
 
 

@@ -19,10 +19,14 @@ _CAMERA_KEYS = ("images", "trans_lidar_to_cam", "trans_cam_to_img",
                 "depth_maps", "gt_boxes2d")
 
 
-def model_inputs(batch):
+def model_inputs(batch, model_cfg=None):
     """Batch dict → the `points` argument of the train/eval steps: the point
-    tensor for lidar models, a dict of camera inputs for CaDDN batches."""
-    if "images" in batch:
+    tensor for lidar models, a dict of camera inputs for CaDDN. Dispatch is
+    on the MODEL config — a lidar model may legally train on a dataset whose
+    GET_ITEM_LIST also loads images."""
+    is_camera = (model_cfg is not None
+                 and str(model_cfg.get("NAME", "")) == "CaDDN")
+    if is_camera or (model_cfg is None and "images" in batch):
         return {k: jnp.asarray(batch[k]) for k in _CAMERA_KEYS if k in batch}
     return jnp.asarray(batch["points"])
 
@@ -49,7 +53,7 @@ def train_model(model, model_cfg, optimizer, state, loader, *, mesh=None,
         last_metrics = {}
         for batch in prefetch_to_device(loader, mesh, size=2):
             state, metrics = train_step(
-                state, model_inputs(batch), jnp.asarray(batch["gt_boxes"]), rng
+                state, model_inputs(batch, model_cfg), jnp.asarray(batch["gt_boxes"]), rng
             )
             n_it += 1
             if n_it % log_interval == 0:
@@ -134,7 +138,7 @@ def eval_one_epoch(model, model_cfg, state, loader, dataset, class_names, *,
     t0 = time.time()
     n_frames = 0
     for batch in prefetch_to_device(loader, mesh, size=2):
-        final = eval_step(state, model_inputs(batch))
+        final = eval_step(state, model_inputs(batch, model_cfg))
         final = jax.device_get(final)
         preds = _trim_predictions(final, batch)
         if "gt_boxes" in batch:

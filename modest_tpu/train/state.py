@@ -27,12 +27,26 @@ class TrainState(flax.struct.PyTreeNode):
 
 
 def create_train_state(model, optimizer, sample_batch, seed: int = 666) -> TrainState:
-    variables = model.init(
-        {"params": jax.random.PRNGKey(seed), "sampler": jax.random.PRNGKey(seed + 1)},
-        jnp.asarray(sample_batch["points"]),
-        jnp.asarray(sample_batch["gt_boxes"]),
-        train=True,
-    )  # the 'sampler' rng stream is unused (and harmless) for grid models
+    rngs = {"params": jax.random.PRNGKey(seed), "sampler": jax.random.PRNGKey(seed + 1)}
+    # dispatch on the MODEL (not the batch): a lidar model may legally train
+    # on a dataset whose GET_ITEM_LIST also loads images
+    is_camera = str(getattr(model, "model_cfg", {}).get("NAME", "")) == "CaDDN"
+    if is_camera:  # camera models (CaDDN) init from a camera batch
+        variables = model.init(
+            rngs,
+            jnp.asarray(sample_batch["images"]),
+            jnp.asarray(sample_batch["trans_lidar_to_cam"]),
+            jnp.asarray(sample_batch["trans_cam_to_img"]),
+            jnp.asarray(sample_batch["gt_boxes"]),
+            train=True,
+        )
+    else:
+        variables = model.init(
+            rngs,
+            jnp.asarray(sample_batch["points"]),
+            jnp.asarray(sample_batch["gt_boxes"]),
+            train=True,
+        )  # the 'sampler' rng stream is unused (and harmless) for grid models
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(

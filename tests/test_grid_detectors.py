@@ -108,6 +108,37 @@ def test_assign_anchor_targets():
     np.testing.assert_allclose(np.asarray(reg_targets[0, 0]), 0.0, atol=1e-6)
 
 
+def test_assign_anchor_targets_padded_gt_never_forces():
+    """Padded (all-zero) gt rows carry a -1 overlap sentinel; the force-match
+    rule must not compare against them — an anchor with a small positive IoU
+    below matched_threshold stays ignore/bg, not foreground."""
+    anchors = jnp.array([[10, 1.8, 0, 4, 2, 1.6, 0.0],   # IoU ~0.08 with gt
+                         [50, 20, 0, 4, 2, 1.6, 0.0]], jnp.float32)
+    gt = jnp.zeros((1, 3, 8), jnp.float32)  # rows 1-2 are padding
+    gt = gt.at[0, 0, :7].set(jnp.array([10, 0, 0, 4, 2, 1.6, 0.0]))
+    gt = gt.at[0, 0, 7].set(1)
+    labels, _, _ = gd.assign_anchor_targets(anchors, gt, ResidualCoder(),
+                                            0.6, 0.45)
+    # anchor 0: best-for-the-gt → legitimately forced fg
+    assert int(labels[0, 0]) == 1
+    # anchor 1: zero overlap, must stay background despite pad sentinels
+    assert int(labels[0, 1]) == 0
+
+
+def test_assign_anchor_targets_class_aware():
+    """With anchor_cls, an anchor only matches gts of its own class."""
+    anchors = jnp.array([[10, 0, 0, 4, 2, 1.6, 0.0],
+                         [10, 0, 0, 4, 2, 1.6, 0.0]], jnp.float32)
+    gt = jnp.zeros((1, 1, 8), jnp.float32)
+    gt = gt.at[0, 0, :7].set(jnp.array([10, 0, 0, 4, 2, 1.6, 0.0]))
+    gt = gt.at[0, 0, 7].set(2)  # class 2
+    anchor_cls = jnp.array([1, 2], jnp.int32)
+    labels, _, _ = gd.assign_anchor_targets(anchors, gt, ResidualCoder(),
+                                            0.6, 0.45, anchor_cls=anchor_cls)
+    assert int(labels[0, 0]) == 0  # class-1 anchor ignores the class-2 gt
+    assert int(labels[0, 1]) == 2  # class-2 anchor matches it
+
+
 def test_sparse_subm_conv_matches_dense(rng):
     """Submanifold conv output == dense conv output at active sites with
     zeroed inactive sites."""
