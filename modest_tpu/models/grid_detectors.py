@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.box_jax import limit_period
-from ..ops.iou3d import nms_bev
+from ..ops.iou3d import boxes_iou3d, boxes_iou_bev, nms_bev
 from .box_coders import ResidualCoder
 from .layers import MaskedBatchNorm
 from .losses import sigmoid_focal_loss, weighted_smooth_l1
@@ -178,6 +178,81 @@ def assign_anchor_targets(anchors, gt_boxes, box_coder: ResidualCoder,
         labels = jnp.where(any_gt, labels, 0)
         reg_targets = box_coder.encode(gt[a2g_arg, :7], anchors)
         fg = labels > 0
+        reg_targets = jnp.where(fg[:, None], reg_targets, 0.0)
+        return labels, reg_targets, fg.astype(jnp.float32)
+
+    return jax.vmap(per_sample)(gt_boxes)
+
+
+def assign_targets_atss(anchors, gt_boxes, box_coder: ResidualCoder, topk: int,
+                        match_height: bool = False):
+    """ATSS target assigner (arXiv 1912.02424), vectorized over the batch.
+
+    Behavioral mirror of the reference ATSSTargetAssigner
+    (atss_target_assigner.py:75-141) on padded gt tensors: per gt, the
+    `topk` center-closest anchors are candidates; the positive-IoU cutoff is
+    adaptive (mean + std of candidate IoUs); candidates must also have their
+    center inside the gt's BEV rectangle (the reference compares the local
+    (x, y) offset against (dy, dx)/2 — sizes swapped; mirrored verbatim for
+    parity); conflicts resolve to the max-IoU gt, and each gt force-claims
+    its single best-IoU anchor (even at IoU 0). No ignore band: labels are
+    0 or a class id. Returns (labels (B, A), reg_targets (B, A, code),
+    reg_weights (B, A)) — the assign_anchor_targets contract.
+    """
+    iou_fn = boxes_iou3d if match_height else boxes_iou_bev
+    num_a = anchors.shape[0]
+    k = min(int(topk), num_a)
+    neg_inf = jnp.float32(-jnp.inf)
+
+    def per_sample(gt):
+        gt_valid = jnp.abs(gt).sum(-1) > 0                       # (M,)
+        cls = gt[:, 7].astype(jnp.int32)
+        m = gt.shape[0]
+        ious = iou_fn(anchors, gt[:, :7])                        # (A, M)
+        ious = jnp.where(gt_valid[None, :], ious, 0.0)
+
+        # topk center-closest anchors per gt
+        dist = jnp.linalg.norm(anchors[:, None, :3] - gt[None, :, :3], axis=-1)
+        _, topk_idxs = jax.lax.top_k(-dist.T, k)                 # (M, K)
+        cand = jnp.take_along_axis(ious.T, topk_idxs, axis=1)    # (M, K)
+        # torch.std defaults to Bessel's correction (ddof=1)
+        thresh = cand.mean(1) + cand.std(1, ddof=1) + 1e-6       # (M,)
+        is_pos = cand >= thresh[:, None]                         # (M, K)
+
+        # candidate center must lie inside the gt BEV rect. The reference
+        # rotates the offset into the gt frame then compares (x, y) against
+        # (dy, dx)/2 (sizes swapped, atss_target_assigner.py:109) — kept.
+        cand_xy = anchors[topk_idxs, :2] - gt[:, None, :2]       # (M, K, 2)
+        c, s = jnp.cos(-gt[:, 6]), jnp.sin(-gt[:, 6])
+        x_loc = cand_xy[..., 0] * c[:, None] - cand_xy[..., 1] * s[:, None]
+        y_loc = cand_xy[..., 0] * s[:, None] + cand_xy[..., 1] * c[:, None]
+        half = jnp.stack([gt[:, 4], gt[:, 3]], axis=-1)[:, None, :] / 2  # (dy, dx)/2
+        in_gt = (jnp.abs(x_loc) <= half[..., 0]) & (jnp.abs(y_loc) <= half[..., 1])
+        is_pos = is_pos & in_gt                                  # (M, K)
+
+        # anchors with several positive gts keep the max-IoU one
+        allowed = jnp.zeros((num_a, m), jnp.int32)
+        allowed = allowed.at[topk_idxs.T, jnp.arange(m)[None, :]].max(
+            is_pos.T.astype(jnp.int32))
+        ious_inf = jnp.where((allowed > 0) & gt_valid[None, :], ious, neg_inf)
+        a2g_val = ious_inf.max(axis=1)
+        a2g_arg = ious_inf.argmax(axis=1)
+
+        # each valid gt force-claims its best-IoU anchor (last gt wins on
+        # collisions, like sequential torch index assignment)
+        best_anchor = ious.argmax(axis=0)                        # (M,)
+        forced_m = jnp.full((num_a,), -1, jnp.int32).at[best_anchor].max(
+            jnp.where(gt_valid, jnp.arange(m, dtype=jnp.int32), -1))
+        idx = jnp.where(forced_m >= 0, forced_m, a2g_arg)
+        val = jnp.where(
+            forced_m >= 0,
+            jnp.take_along_axis(ious, jnp.clip(forced_m, 0)[:, None],
+                                axis=1)[:, 0],
+            a2g_val,
+        )
+        labels = jnp.where(val > neg_inf, cls[idx], 0)
+        fg = labels > 0
+        reg_targets = box_coder.encode(gt[idx, :7], anchors)
         reg_targets = jnp.where(fg[:, None], reg_targets, 0.0)
         return labels, reg_targets, fg.astype(jnp.float32)
 
@@ -364,6 +439,13 @@ class GridDetector(nn.Module):
             na = len(acfg.anchor_sizes) * len(acfg.anchor_rotations) * len(
                 acfg.anchor_bottom_heights
             )
+        # TARGET_ASSIGNER_CONFIG.NAME selects the train-time matcher
+        # (reference anchor_head_template.get_target_assigner)
+        self._assigner = str(tac.get("NAME", "AxisAlignedTargetAssigner")) if tac else "AxisAlignedTargetAssigner"
+        self._atss_topk = int(tac.get("TOPK", 9)) if tac else 9
+        self._match_height = bool(tac.get("MATCH_HEIGHT", False)) if tac else False
+        if self._assigner not in ("AxisAlignedTargetAssigner", "ATSS"):
+            raise NotImplementedError(self._assigner)
 
         if cfg.NAME == "PointPillar":
             self.vfe = PillarFeatureNet(
@@ -433,10 +515,16 @@ class GridDetector(nn.Module):
         out = {"cls_preds": cls_preds, "box_preds": box_preds,
                "dir_cls_preds": dir_preds, "anchors": self._anchors}
         if train:
-            labels, reg_targets, reg_w = assign_anchor_targets(
-                self._anchors, gt_boxes, self.box_coder,
-                self._matched_thr, self._unmatched_thr,
-            )
+            if self._assigner == "ATSS":
+                labels, reg_targets, reg_w = assign_targets_atss(
+                    self._anchors, gt_boxes, self.box_coder,
+                    topk=self._atss_topk, match_height=self._match_height,
+                )
+            else:
+                labels, reg_targets, reg_w = assign_anchor_targets(
+                    self._anchors, gt_boxes, self.box_coder,
+                    self._matched_thr, self._unmatched_thr,
+                )
             out["box_cls_labels"] = labels
             out["box_reg_targets"] = reg_targets
         else:

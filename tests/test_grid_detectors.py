@@ -139,6 +139,72 @@ def test_assign_anchor_targets_class_aware():
     assert int(labels[0, 1]) == 2  # class-2 anchor matches it
 
 
+def _atss_oracle(anchors, gt, cls, topk):
+    """Reference ATSSTargetAssigner.assign_targets_single semantics
+    (atss_target_assigner.py:75-141), sequential numpy, trimmed gt."""
+    a_n, m = len(anchors), len(gt)
+    ious = np.asarray(gd.boxes_iou_bev(jnp.asarray(anchors), jnp.asarray(gt[:, :7])))
+    dist = np.linalg.norm(anchors[:, None, :3] - gt[None, :, :3], axis=-1)
+    topk_idxs = np.argsort(dist, axis=0, kind="stable")[:topk]  # (K, M)
+    cand = ious[topk_idxs, np.arange(m)]
+    thresh = cand.mean(0) + cand.std(0, ddof=1) + 1e-6
+    is_pos = cand >= thresh
+    for mm in range(m):  # center-in-gt (with the reference's (dy, dx) swap)
+        for kk in range(topk):
+            a = topk_idxs[kk, mm]
+            off = anchors[a, :2] - gt[mm, :2]
+            c, s = np.cos(-gt[mm, 6]), np.sin(-gt[mm, 6])
+            x_l = off[0] * c - off[1] * s
+            y_l = off[0] * s + off[1] * c
+            if not (abs(x_l) <= gt[mm, 4] / 2 and abs(y_l) <= gt[mm, 3] / 2):
+                is_pos[kk, mm] = False
+    ious_inf = np.full((a_n, m), -np.inf)
+    for mm in range(m):
+        for kk in range(topk):
+            if is_pos[kk, mm]:
+                a = topk_idxs[kk, mm]
+                ious_inf[a, mm] = ious[a, mm]
+    vals = ious_inf.max(1)
+    idxs = ious_inf.argmax(1)
+    best = ious.argmax(0)
+    for mm in range(m):  # sequential: later gt wins a collision
+        idxs[best[mm]] = mm
+        vals[best[mm]] = ious[best[mm], mm]
+    return np.where(vals > -np.inf, cls[idxs], 0), idxs, vals
+
+
+def test_assign_targets_atss_matches_reference_semantics(rng):
+    """Vectorized ATSS == the reference's sequential per-gt loop."""
+    a_n, topk = 48, 5
+    anchors = np.zeros((a_n, 7), np.float32)
+    anchors[:, 0] = rng.uniform(0, 40, a_n)
+    anchors[:, 1] = rng.uniform(-10, 10, a_n)
+    anchors[:, 3:6] = [4.0, 2.0, 1.6]
+    gt_valid = np.zeros((3, 7), np.float32)
+    gt_valid[:, 0] = [8.0, 20.0, 33.0]
+    gt_valid[:, 1] = [-4.0, 2.0, 6.0]
+    gt_valid[:, 3:6] = [4.2, 1.9, 1.5]
+    gt_valid[:, 6] = [0.1, -0.3, 0.8]
+    cls_valid = np.array([1, 2, 1], np.int64)
+
+    gt_pad = np.zeros((1, 5, 8), np.float32)  # 2 padded rows
+    gt_pad[0, :3, :7] = gt_valid
+    gt_pad[0, :3, 7] = cls_valid
+
+    labels, reg_t, reg_w = gd.assign_targets_atss(
+        jnp.asarray(anchors), jnp.asarray(gt_pad), ResidualCoder(), topk
+    )
+    want_labels, want_idx, _ = _atss_oracle(anchors, gt_valid, cls_valid, topk)
+    np.testing.assert_array_equal(np.asarray(labels[0]), want_labels)
+    np.testing.assert_array_equal(np.asarray(reg_w[0]), (want_labels > 0))
+    fg = want_labels > 0
+    want_reg = np.asarray(
+        ResidualCoder().encode(jnp.asarray(gt_valid[want_idx]), jnp.asarray(anchors))
+    )
+    np.testing.assert_allclose(np.asarray(reg_t[0])[fg], want_reg[fg], atol=1e-5)
+    assert fg.sum() >= 3  # every gt force-claims at least its best anchor
+
+
 def test_sparse_subm_conv_matches_dense(rng):
     """Submanifold conv output == dense conv output at active sites with
     zeroed inactive sites."""

@@ -110,6 +110,27 @@ def test_train_then_eval_cli(synth_env):
     assert record.exists() and record.read_text().strip()
 
 
+def test_demo_cli(synth_env, tmp_path):
+    """demo.py runs raw .bin files through the full eval path and renders
+    BEV PNGs (reference tools/demo.py, headless)."""
+    root, cfg_file = synth_env
+    from modest_tpu.cli import demo as demo_cli
+
+    save_dir = tmp_path / "demo_out"
+    results = demo_cli.main(
+        [
+            "--cfg_file", str(cfg_file),
+            "--data_path", str(root / "training" / "velodyne"),
+            "--ext", ".bin",
+            "--save_dir", str(save_dir),
+        ]
+    )
+    assert len(results) == 6  # 4 train + 2 val frames share the dir
+    for r in results:
+        assert r["boxes"].shape[1] == 7
+        assert (save_dir / f"{r['frame_id']}.png").exists()
+
+
 def test_metrics_logger(tmp_path):
     from modest_tpu.train.metrics import MetricsLogger
 
