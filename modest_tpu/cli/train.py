@@ -124,7 +124,8 @@ def main(argv=None):
     total_steps = len(train_loader) * epochs
 
     model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset=train_set)
-    optimizer = build_optimizer(cfg.OPTIMIZATION, total_steps)
+    optimizer = build_optimizer(cfg.OPTIMIZATION, total_steps,
+                                iters_per_epoch=len(train_loader))
 
     sample = next(iter(train_loader))
     state = create_train_state(model, optimizer, sample)

@@ -412,3 +412,83 @@ def test_one_cycle_schedule_parity(rng):
         # rtol reflects f32 resolution at the tiny end-of-run lr
         np.testing.assert_allclose(float(lr_fn(step)), opt.lr, rtol=3e-4)
         np.testing.assert_allclose(float(b1_fn(step)), opt.mom, rtol=3e-4)
+
+
+def test_one_cycle_flat_schedule_parity():
+    sys.path.insert(0, str(REF_PCDET / "tools"))
+    try:
+        from train_utils.optimization.learning_schedules_fastai import (
+            FakeOptim,
+            OneCycleFlat,
+        )
+    finally:
+        sys.path.remove(str(REF_PCDET / "tools"))
+
+    from modest_tpu.train.optim import one_cycle_flat_schedules
+
+    total_steps = 200
+    opt = FakeOptim()
+    sched = OneCycleFlat(opt, total_steps, 0.01, [0.95, 0.85], 10.0, 0.3, 0.7)
+    lr_fn, b1_fn = one_cycle_flat_schedules(0.01, (0.95, 0.85), 10.0, 0.3, 0.7,
+                                            total_steps)
+    for step in [0, 1, 30, 59, 60, 61, 100, 139, 140, 141, 170, 199]:
+        sched.step(step)
+        np.testing.assert_allclose(float(lr_fn(step)), opt.lr, rtol=3e-4)
+        np.testing.assert_allclose(float(b1_fn(step)), opt.mom, rtol=3e-4)
+
+
+def test_build_optimizer_variants_step():
+    """Every OPTIMIZER branch builds and applies an update (incl. the new
+    onecycleflat / decay-list adam / sgd paths)."""
+    import jax
+    import jax.numpy as jnp
+
+    from modest_tpu.train.optim import build_optimizer
+
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    grads = jax.tree.map(jnp.ones_like, params)
+    base = dict(LR=0.01, WEIGHT_DECAY=0.01, MOMS=[0.95, 0.85], DIV_FACTOR=10,
+                PCT_START=0.4, FLAT_START=0.7, GRAD_NORM_CLIP=10,
+                MOMENTUM=0.9, NUM_EPOCHS=2, DECAY_STEP_LIST=[1, 2],
+                LR_DECAY=0.1, LR_CLIP=1e-7, LR_WARMUP=True, WARMUP_EPOCH=1)
+    for name in ("adam_onecycle", "adam_onecycleflat", "adam", "sgd"):
+        cfg = _Cfg(OPTIMIZER=name, **base)
+        tx = build_optimizer(cfg, total_steps=20, iters_per_epoch=10)
+        opt_state = tx.init(params)
+        new = params
+        for _ in range(2):  # warmup paths have lr=0 at step 0
+            updates, opt_state = tx.update(grads, opt_state, new)
+            new = jax.tree.map(lambda p, u: p + u, new, updates)
+        assert np.isfinite(np.asarray(new["w"])).all()
+        assert not np.allclose(np.asarray(new["w"]), np.asarray(params["w"]))
+
+
+def test_decay_list_schedule_parity():
+    """Step-decay LambdaLR + cosine warmup vs the reference's lr_lbmd /
+    CosineWarmupLR (optimization/__init__.py:40-47, fastai:103-112)."""
+    from modest_tpu.train.optim import decay_list_schedule
+
+    lr0, lr_decay, lr_clip = 0.003, 0.1, 1e-7
+    iters_per_epoch = 10
+    decay_steps = [e * iters_per_epoch for e in (3, 6, 9)]
+
+    def ref_lr_lbmd(cur_step):
+        cur_decay = 1
+        for decay_step in decay_steps:
+            if cur_step >= decay_step:
+                cur_decay = cur_decay * lr_decay
+        return max(cur_decay, lr_clip / lr0) * lr0  # LambdaLR multiplies base lr
+
+    lr_fn = decay_list_schedule(lr0, decay_steps, lr_decay, lr_clip)
+    for step in [0, 5, 29, 30, 31, 59, 60, 89, 90, 120, 500]:
+        np.testing.assert_allclose(float(lr_fn(step)), ref_lr_lbmd(step), rtol=1e-5)
+
+    import math
+
+    warm_steps = 2 * iters_per_epoch
+    lr_fn_w = decay_list_schedule(lr0, decay_steps, lr_decay, lr_clip,
+                                  warmup_steps=warm_steps)
+    for step in [0, 1, 10, 19]:  # CosineWarmupLR ramp, stepped per iter
+        want = (lr0 - 0) * (1 - math.cos(math.pi * step / warm_steps)) / 2
+        np.testing.assert_allclose(float(lr_fn_w(step)), want, rtol=1e-5, atol=1e-12)
+    np.testing.assert_allclose(float(lr_fn_w(35)), ref_lr_lbmd(35), rtol=1e-5)
