@@ -251,13 +251,24 @@ class NuScenesDataset:
         return self._nusc_official_eval(nusc, det_annos, output_path)
 
     def _fallback_evaluation(self, det_annos, class_names):
+        """Official-protocol mAP/TP/NDS via the SDK-free evaluator
+        (eval/nuscenes_eval.py), plus the kitti-style BEV/3D AP table."""
         from ..eval.kitti_eval import ap_from_lidar_annos
+        from ..eval.nuscenes_eval import nuscenes_eval
 
         gt_annos = [
-            {"name": info["gt_names"], "boxes_lidar": info["gt_boxes"][:, :7]}
+            {"name": info["gt_names"], "boxes_lidar": info["gt_boxes"]}
             for info in self.infos
         ]
-        return ap_from_lidar_annos(gt_annos, det_annos, class_names)
+        nds_str, nds_dict = nuscenes_eval(
+            gt_annos, det_annos, class_names,
+            pred_velocity=bool(self.dataset_cfg.get("PRED_VELOCITY", False)),
+        )
+        gt7 = [{"name": g["name"], "boxes_lidar": g["boxes_lidar"][:, :7]}
+               for g in gt_annos]
+        ap_str, ap_dict = ap_from_lidar_annos(gt7, det_annos, class_names)
+        ap_dict.update(nds_dict)
+        return (ap_str or "") + nds_str, ap_dict
 
     def _nusc_official_eval(self, nusc, det_annos, output_path):
         import json
