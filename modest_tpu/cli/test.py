@@ -29,7 +29,11 @@ from .train import create_logger
 def main(argv=None):
     parser = argparse.ArgumentParser(description="evaluate a detector")
     parser.add_argument("--cfg_file", type=str, required=True)
-    parser.add_argument("--ckpt_dir", type=str, required=True)
+    parser.add_argument("--ckpt_dir", type=str, default=None)
+    parser.add_argument("--torch_ckpt", type=str, default=None,
+                        help="evaluate a reference .pth checkpoint directly "
+                             "(MODEST's released checkpoints; converted via "
+                             "train/torch_convert.py)")
     parser.add_argument("--ckpt_epoch", type=int, default=None)
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--extra_tag", type=str, default="default")
@@ -77,7 +81,7 @@ def main(argv=None):
         dummy["gt_boxes"] = np.zeros((dummy["points"].shape[0], 1, 8), np.float32)
     state = create_train_state(model, optimizer, dummy)
 
-    manager = make_manager(args.ckpt_dir)
+    assert args.ckpt_dir or args.torch_ckpt, "--ckpt_dir or --torch_ckpt required"
     split = cfg.DATA_CONFIG.DATA_SPLIT["test"]
 
     def eval_epoch(state, epoch):
@@ -92,6 +96,14 @@ def main(argv=None):
             save_to_file=args.save_to_file,
         )
 
+    if args.torch_ckpt is not None:
+        from ..train.torch_convert import load_reference_pth
+
+        state, report = load_reference_pth(args.torch_ckpt, state)
+        print(f"converted reference checkpoint: {len(report.converted)} tensors")
+        return eval_epoch(state, "torch_ckpt")
+
+    manager = make_manager(args.ckpt_dir)
     if not args.eval_all:
         restored, epoch = restore_checkpoint(manager, state, args.ckpt_epoch)
         assert restored is not None, f"no checkpoint found in {args.ckpt_dir}"

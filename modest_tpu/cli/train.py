@@ -144,12 +144,20 @@ def main(argv=None):
         start_epoch = last_epoch
         logger.info(f"resumed from epoch {last_epoch}")
     elif args.pretrained_model is not None:
-        from ..train.checkpoint import load_params_partial
+        if str(args.pretrained_model).endswith(".pth"):
+            # a reference torch checkpoint (MODEST's released ckpts)
+            from ..train.torch_convert import load_reference_pth
 
-        state, n_loaded, n_skipped = load_params_partial(
-            state, args.pretrained_model, logger=logger)
-        logger.info(f"pretrained transfer: {n_loaded} tensors loaded, "
-                    f"{n_skipped} kept at init")
+            state, report = load_reference_pth(args.pretrained_model, state)
+            logger.info(f"converted reference checkpoint: "
+                        f"{len(report.converted)} tensors loaded")
+        else:
+            from ..train.checkpoint import load_params_partial
+
+            state, n_loaded, n_skipped = load_params_partial(
+                state, args.pretrained_model, logger=logger)
+            logger.info(f"pretrained transfer: {n_loaded} tensors loaded, "
+                        f"{n_skipped} kept at init")
 
     state = train_model(
         model, cfg.MODEL, optimizer, state, train_loader,

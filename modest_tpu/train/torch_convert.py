@@ -1,0 +1,215 @@
+"""Load the reference's released torch checkpoints into modest_tpu.
+
+MODEST publishes PointRCNN `.pth` checkpoints per self-training round
+(reference README.md:98-123; ckpt format {epoch, it, model_state,
+optimizer_state, version}, tools/train_utils/train_utils.py:118-152). This
+module converts that `model_state` into our flax param/batch_stats trees so
+a reference user can evaluate or fine-tune their existing checkpoints here.
+
+Layout facts the conversion relies on (verified by layer-level forward
+equality in tests/test_torch_convert.py):
+- the reference's 1x1 Conv2d/Conv1d/Linear stacks are our channel-last
+  Dense layers: kernel = torch weight (out, in, 1, 1) → squeeze → transpose;
+- torch BatchNorm{1,2}d (weight, bias, running_mean, running_var) →
+  flax BatchNorm (scale, bias) + batch_stats (mean, var);
+- grouped SA inputs concatenate [xyz, features] on both sides
+  (pointnet2_utils.py:257 ↔ ops/pointnet2.query_and_group);
+- FP modules run deepest-first: reference FP_modules.{n-1-i} ≡ our
+  FPModule_{i} (pointnet2_backbone.py forward ↔ models/pointnet2_backbone).
+"""
+from __future__ import annotations
+
+import copy
+import re
+
+import numpy as np
+
+__all__ = ["convert_pointrcnn_state", "load_reference_pth"]
+
+
+def _seq_layers(model_state, prefix):
+    """Ordered [(kind, tensors)] for a torch nn.Sequential prefix; kind is
+    'lin' (conv/linear) or 'bn'. Robust to ReLU/Dropout index gaps."""
+    idxs = sorted({
+        int(m.group(1))
+        for k in model_state
+        if (m := re.match(re.escape(prefix) + r"\.(\d+)\.", k))
+    })
+    out = []
+    for i in idxs:
+        tensors = {
+            k[len(prefix) + len(str(i)) + 2:]: np.asarray(model_state[k])
+            for k in model_state if k.startswith(f"{prefix}.{i}.")
+        }
+        if "running_mean" in tensors:
+            out.append(("bn", tensors))
+        elif "weight" in tensors:
+            out.append(("lin", tensors))
+    return out
+
+
+def _dense_kernel(w: np.ndarray) -> np.ndarray:
+    """torch conv/linear weight (out, in, *1s) → flax Dense kernel (in, out)."""
+    assert int(np.prod(w.shape[2:], initial=1)) == 1, \
+        f"not a 1x1/pointwise weight: {w.shape}"
+    return np.ascontiguousarray(w.reshape(w.shape[0], w.shape[1]).T)
+
+
+class _Report:
+    def __init__(self):
+        self.converted = []
+        self.skipped_ref = []
+
+    def __repr__(self):
+        return (f"<torch_convert: {len(self.converted)} tensors converted, "
+                f"{len(self.skipped_ref)} reference keys unused>")
+
+
+def _put(tree, path, value, report, what):
+    node = tree
+    for p in path[:-1]:
+        if p not in node:
+            raise KeyError(f"{what}: no module {'/'.join(path)} in target tree")
+        node = node[p]
+    leaf = path[-1]
+    if leaf not in node:
+        raise KeyError(f"{what}: no leaf {'/'.join(path)} in target tree")
+    have = np.asarray(node[leaf])
+    if have.shape != value.shape:
+        raise ValueError(
+            f"{what}: shape mismatch at {'/'.join(path)}: "
+            f"checkpoint {value.shape} vs model {have.shape}")
+    node[leaf] = value.astype(have.dtype)
+    report.converted.append("/".join(path))
+
+
+def _convert_seq(model_state, prefix, params, stats, base_path, report,
+                 final_dense_path=None):
+    """Torch Sequential → SharedMLP dict at base_path. With
+    final_dense_path, the LAST linear goes there instead (FCHead layout)."""
+    layers = _seq_layers(model_state, prefix)
+    if not layers:
+        raise KeyError(f"no tensors under {prefix}")
+    lins = [t for k, t in layers if k == "lin"]
+    bns = [t for k, t in layers if k == "bn"]
+    if final_dense_path is not None:
+        *lins, final = lins
+    for li, t in enumerate(lins):
+        _put(params, base_path + (f"Dense_{li}", "kernel"),
+             _dense_kernel(t["weight"]), report, prefix)
+        if "bias" in t:
+            _put(params, base_path + (f"Dense_{li}", "bias"),
+                 t["bias"], report, prefix)
+    for bi, t in enumerate(bns):
+        _put(params, base_path + (f"BatchNorm_{bi}", "scale"),
+             t["weight"], report, prefix)
+        _put(params, base_path + (f"BatchNorm_{bi}", "bias"),
+             t["bias"], report, prefix)
+        _put(stats, base_path + (f"BatchNorm_{bi}", "mean"),
+             t["running_mean"], report, prefix)
+        _put(stats, base_path + (f"BatchNorm_{bi}", "var"),
+             t["running_var"], report, prefix)
+    if final_dense_path is not None:
+        _put(params, final_dense_path + ("kernel",),
+             _dense_kernel(final["weight"]), report, prefix)
+        if "bias" in final:
+            _put(params, final_dense_path + ("bias",),
+                 final["bias"], report, prefix)
+
+
+def convert_pointrcnn_state(model_state, params, batch_stats):
+    """Reference PointRCNN model_state → (params, batch_stats, report).
+
+    model_state: flat dict of torch tensors / numpy arrays keyed
+    'backbone_3d.…' / 'point_head.…' / 'roi_head.…'. params/batch_stats:
+    trees from our PointRCNN init — returned copies have every matching
+    module replaced; a structural or shape mismatch raises.
+    """
+    ms = {k: np.asarray(getattr(v, "cpu", lambda: v)()) for k, v in model_state.items()}
+    params = copy.deepcopy(
+        {k: v for k, v in _to_plain(params).items()})
+    batch_stats = copy.deepcopy(_to_plain(batch_stats))
+    report = _Report()
+
+    def indices(pattern):
+        return sorted({int(m.group(1)) for k in ms
+                       if (m := re.match(pattern, k))})
+
+    # backbone SA (MSG) levels
+    for i in indices(r"backbone_3d\.SA_modules\.(\d+)\."):
+        for j in indices(rf"backbone_3d\.SA_modules\.{i}\.mlps\.(\d+)\."):
+            _convert_seq(ms, f"backbone_3d.SA_modules.{i}.mlps.{j}",
+                         params, batch_stats,
+                         ("backbone", f"SAModuleMSG_{i}", f"SharedMLP_{j}"),
+                         report)
+    # backbone FP levels (reference deepest index runs first = our _0)
+    fp_idx = indices(r"backbone_3d\.FP_modules\.(\d+)\.")
+    n_fp = len(fp_idx)
+    for i in fp_idx:
+        _convert_seq(ms, f"backbone_3d.FP_modules.{i}.mlp",
+                     params, batch_stats,
+                     ("backbone", f"FPModule_{n_fp - 1 - i}", "SharedMLP_0"),
+                     report)
+    # point head: cls_layers → FCHead_0, box_layers → FCHead_1
+    for ref_name, ours in (("cls_layers", "FCHead_0"), ("box_layers", "FCHead_1")):
+        _convert_seq(ms, f"point_head.{ref_name}", params, batch_stats,
+                     ("point_head", ours, "SharedMLP_0"), report,
+                     final_dense_path=("point_head", ours, "Dense_0"))
+    # roi head
+    for i in indices(r"roi_head\.SA_modules\.(\d+)\."):
+        _convert_seq(ms, f"roi_head.SA_modules.{i}.mlps.0",
+                     params, batch_stats,
+                     ("roi_head", f"SAModule_{i}", "SharedMLP_0"), report)
+    _convert_seq(ms, "roi_head.xyz_up_layer", params, batch_stats,
+                 ("roi_head", "SharedMLP_0"), report)
+    _convert_seq(ms, "roi_head.merge_down_layer", params, batch_stats,
+                 ("roi_head", "SharedMLP_1"), report)
+    for ref_name, ours in (("cls_layers", "FCHead_0"), ("reg_layers", "FCHead_1")):
+        _convert_seq(ms, f"roi_head.{ref_name}", params, batch_stats,
+                     ("roi_head", ours, "SharedMLP_0"), report,
+                     final_dense_path=("roi_head", ours, "Dense_0"))
+
+    # every non-num_batches_tracked tensor under the three module roots is
+    # consumed by the sequential walks above; anything else is foreign
+    report.skipped_ref = [
+        k for k in ms
+        if not k.endswith("num_batches_tracked")
+        and not k.startswith(("backbone_3d.", "point_head.", "roi_head."))
+    ]
+    return params, batch_stats, report
+
+
+def _to_plain(tree):
+    """FrozenDict/dict tree → plain nested dict of numpy arrays."""
+    if hasattr(tree, "unfreeze"):
+        tree = tree.unfreeze()
+    if isinstance(tree, dict):
+        return {k: _to_plain(v) for k, v in tree.items()}
+    return np.asarray(tree)
+
+
+def load_reference_pth(path, state):
+    """Reference .pth checkpoint file → TrainState with converted weights.
+
+    Accepts both the full training checkpoint ({model_state: ...}) and a
+    bare state-dict file.
+    """
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    model_state = blob.get("model_state", blob) if isinstance(blob, dict) else blob
+    params, batch_stats, report = convert_pointrcnn_state(
+        model_state, state.params, state.batch_stats)
+    import jax.numpy as jnp
+
+    params = _tree_jnp(params)
+    batch_stats = _tree_jnp(batch_stats)
+    return state.replace(params=params, batch_stats=batch_stats), report
+
+
+def _tree_jnp(tree):
+    import jax.numpy as jnp
+
+    if isinstance(tree, dict):
+        return {k: _tree_jnp(v) for k, v in tree.items()}
+    return jnp.asarray(tree)

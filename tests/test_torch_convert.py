@@ -1,0 +1,261 @@
+"""Reference .pth checkpoint conversion (train/torch_convert.py).
+
+Builds the reference's OWN torch PointRCNN submodules (random weights, CUDA
+exts stubbed) for the flagship config, converts their state_dict into our
+flax trees, and asserts (a) full coverage — every one of our param /
+batch_stats leaves receives a checkpoint tensor — and (b) numerical forward
+equality of every converted stack (1x1-conv/BN/ReLU sequentials vs our
+channel-last SharedMLP/FCHead) in eval mode.
+"""
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+REF_PCDET = Path("/root/reference/downstream/OpenPCDet")
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    sys.path.insert(0, str(REF_PCDET))
+    ver = types.ModuleType("pcdet.version")
+    ver.__version__ = "0.3.0+ref"
+    sys.modules.setdefault("pcdet.version", ver)
+    for ext in ("pcdet.ops.roiaware_pool3d.roiaware_pool3d_cuda",
+                "pcdet.ops.iou3d_nms.iou3d_nms_cuda",
+                "pcdet.ops.pointnet2.pointnet2_batch.pointnet2_batch_cuda",
+                "pcdet.ops.pointnet2.pointnet2_stack.pointnet2_stack_cuda",
+                "pcdet.ops.roipoint_pool3d.roipoint_pool3d_cuda",
+                "torchvision", "kornia"):
+        sys.modules.setdefault(ext, types.ModuleType(ext))
+    if "spconv" not in sys.modules:
+        sp = types.ModuleType("spconv")
+        for n in ("SparseModule", "SparseSequential", "SubMConv3d",
+                  "SparseConv3d", "SparseConvTensor", "SparseInverseConv3d"):
+            setattr(sp, n, type(n, (), {}))
+        sys.modules["spconv"] = sp
+    if "easydict" not in sys.modules:
+        ed = types.ModuleType("easydict")
+
+        class EasyDict(dict):
+            def __init__(self, d=None):
+                super().__init__()
+                for k, v in (d or {}).items():
+                    if isinstance(v, dict):
+                        v = EasyDict(v)
+                    elif isinstance(v, list):
+                        v = [EasyDict(x) if isinstance(x, dict) else x for x in v]
+                    self[k] = v
+
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError as e:
+                    raise AttributeError(k) from e
+
+            __setattr__ = dict.__setitem__
+
+        ed.EasyDict = EasyDict
+        sys.modules["easydict"] = ed
+
+    import torch
+
+    # reference model code calls .cuda() unconditionally in places
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    torch.manual_seed(0)
+    from easydict import EasyDict
+
+    import yaml
+
+    cfg = EasyDict(yaml.safe_load(
+        open("configs/models/lyft_models/pointrcnn_dynamic_obj.yaml"))["MODEL"])
+    from pcdet.models.backbones_3d.pointnet2_backbone import PointNet2MSG
+    from pcdet.models.dense_heads.point_head_box import PointHeadBox
+    from pcdet.models.roi_heads.pointrcnn_head import PointRCNNHead
+
+    bb = PointNet2MSG(model_cfg=cfg.BACKBONE_3D, input_channels=4).eval()
+    ph = PointHeadBox(model_cfg=cfg.POINT_HEAD, num_class=1, input_channels=128,
+                      predict_boxes_when_training=True).eval()
+    rh = PointRCNNHead(model_cfg=cfg.ROI_HEAD, input_channels=128, num_class=1).eval()
+    # non-trivial running stats so eval-mode BN actually tests the transfer
+    with torch.no_grad():
+        for m in list(bb.modules()) + list(ph.modules()) + list(rh.modules()):
+            if hasattr(m, "running_mean") and m.running_mean is not None:
+                m.running_mean.uniform_(-0.3, 0.3)
+                m.running_var.uniform_(0.5, 1.5)
+    state = {}
+    for prefix, m in (("backbone_3d", bb), ("point_head", ph), ("roi_head", rh)):
+        for k, v in m.state_dict().items():
+            state[f"{prefix}.{k}"] = v
+    yield types.SimpleNamespace(backbone=bb, point_head=ph, roi_head=rh,
+                                model_state=state)
+    sys.path.remove(str(REF_PCDET))
+
+
+@pytest.fixture(scope="module")
+def converted(ref_modules):
+    import jax
+    import jax.numpy as jnp
+
+    from modest_tpu.models.pointrcnn import PointRCNN
+    from modest_tpu.train.torch_convert import convert_pointrcnn_state
+    from modest_tpu.utils.config import cfg_from_yaml_file
+
+    cfg = cfg_from_yaml_file("configs/models/lyft_models/pointrcnn_dynamic_obj.yaml")
+    model = PointRCNN(model_cfg=cfg.MODEL, num_class=1)
+    pts = jnp.asarray(np.random.RandomState(0).randn(1, 512, 4).astype(np.float32))
+    var = model.init(
+        {"params": jax.random.PRNGKey(0), "sampler": jax.random.PRNGKey(1)},
+        pts, jnp.zeros((1, 2, 8), jnp.float32), train=True)
+    params, stats, report = convert_pointrcnn_state(
+        ref_modules.model_state, var["params"], var["batch_stats"])
+    return types.SimpleNamespace(params=params, stats=stats, report=report,
+                                 init=var)
+
+
+def _leaf_paths(tree, prefix=()):
+    out = []
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out += _leaf_paths(v, prefix + (k,))
+        else:
+            out.append("/".join(prefix + (k,)))
+    return out
+
+
+def test_full_coverage(converted):
+    """Every flax leaf gets a checkpoint tensor; nothing foreign skipped."""
+    import numpy as np
+
+    want = set(_leaf_paths(converted.params)) | set(_leaf_paths(converted.stats))
+    got = set(converted.report.converted)
+    missing = want - got
+    assert not missing, f"unconverted leaves: {sorted(missing)[:10]}"
+    assert not converted.report.skipped_ref
+
+
+def _ours_apply(module, params, stats, x, subpath):
+    """Apply a flax module with the converted subtree at subpath."""
+    node_p, node_s = params, stats
+    for p in subpath:
+        node_p = node_p[p]
+        node_s = node_s.get(p, {}) if isinstance(node_s, dict) else {}
+    import jax.numpy as jnp
+
+    return np.asarray(module.apply(
+        {"params": node_p, "batch_stats": node_s}, jnp.asarray(x), train=False))
+
+
+def test_shared_mlp_forward_equality(ref_modules, converted, rng):
+    """Backbone SA mlp stack: torch Conv2d/BN2d/ReLU ≡ our SharedMLP."""
+    import torch
+
+    from modest_tpu.models.layers import SharedMLP
+
+    seq = ref_modules.backbone.SA_modules[0].mlps[0]  # 4→16→16→32
+    x = rng.randn(2, 16, 8, 4).astype(np.float32)  # (B, npoint, ns, C)
+    with torch.no_grad():
+        ref_out = seq(torch.from_numpy(np.ascontiguousarray(
+            x.transpose(0, 3, 1, 2)))).numpy().transpose(0, 2, 3, 1)
+    ours = _ours_apply(SharedMLP((16, 16, 32)), converted.params,
+                       converted.stats, x,
+                       ("backbone", "SAModuleMSG_0", "SharedMLP_0"))
+    np.testing.assert_allclose(ours, ref_out, atol=2e-5)
+
+
+def test_fp_mlp_forward_equality(ref_modules, converted, rng):
+    """Deepest FP mlp (reference index 3 ≡ our FPModule_0)."""
+    import torch
+
+    from modest_tpu.models.layers import SharedMLP
+
+    seq = ref_modules.backbone.FP_modules[3].mlp  # in 1536 → 512 → 512
+    x = rng.randn(2, 64, 1, 1536).astype(np.float32)
+    with torch.no_grad():
+        ref_out = seq(torch.from_numpy(np.ascontiguousarray(
+            x.transpose(0, 3, 1, 2)))).numpy().transpose(0, 2, 3, 1)
+    ours = _ours_apply(SharedMLP((512, 512)), converted.params,
+                       converted.stats, x,
+                       ("backbone", "FPModule_0", "SharedMLP_0"))
+    np.testing.assert_allclose(ours, ref_out, atol=2e-4)
+
+
+def test_point_head_forward_equality(ref_modules, converted, rng):
+    """point_head box_layers (Linear/BN1d, final biased Linear) ≡ FCHead."""
+    import torch
+
+    from modest_tpu.models.layers import FCHead
+
+    seq = ref_modules.point_head.box_layers
+    x = rng.randn(64, 128).astype(np.float32)
+    with torch.no_grad():
+        ref_out = seq(torch.from_numpy(x)).numpy()
+    ours = _ours_apply(FCHead(hidden=(256, 256), out=8), converted.params,
+                       converted.stats, x, ("point_head", "FCHead_1"))
+    np.testing.assert_allclose(ours, ref_out, atol=2e-5)
+
+
+def test_roi_head_forward_equality(ref_modules, converted, rng):
+    """roi_head cls_layers (Conv1d/BN1d/Dropout) ≡ FCHead in eval mode."""
+    import torch
+
+    from modest_tpu.models.layers import FCHead
+
+    seq = ref_modules.roi_head.cls_layers
+    x = rng.randn(6, 512).astype(np.float32)  # (rois, C)
+    with torch.no_grad():
+        ref_out = seq(torch.from_numpy(x[:, :, None])).numpy()[:, :, 0]
+    ours = _ours_apply(FCHead(hidden=(256, 256), out=1), converted.params,
+                       converted.stats, x, ("roi_head", "FCHead_0"))
+    np.testing.assert_allclose(ours, ref_out, atol=2e-5)
+
+
+def test_xyz_up_layer_forward_equality(ref_modules, converted, rng):
+    """xyz_up_layer: biased Conv2d+ReLU pairs, no BN ≡ SharedMLP(use_bn=False)."""
+    import torch
+
+    from modest_tpu.models.layers import SharedMLP
+
+    seq = ref_modules.roi_head.xyz_up_layer
+    x = rng.randn(3, 128, 16, 5).astype(np.float32)
+    with torch.no_grad():
+        ref_out = seq(torch.from_numpy(np.ascontiguousarray(
+            x.transpose(0, 3, 1, 2)))).numpy().transpose(0, 2, 3, 1)
+    ours = _ours_apply(SharedMLP((128, 128), use_bn=False), converted.params,
+                       converted.stats, x, ("roi_head", "SharedMLP_0"))
+    np.testing.assert_allclose(ours, ref_out, atol=2e-5)
+
+
+def test_pth_roundtrip(ref_modules, tmp_path):
+    """torch.save → load_reference_pth populates a real TrainState."""
+    import optax
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from modest_tpu.models.pointrcnn import PointRCNN
+    from modest_tpu.train.state import create_train_state
+    from modest_tpu.train.torch_convert import load_reference_pth
+    from modest_tpu.utils.config import cfg_from_yaml_file
+
+    path = tmp_path / "checkpoint_epoch_60.pth"
+    torch.save({"epoch": 60, "it": 1, "model_state": ref_modules.model_state,
+                "version": "pcdet+0.3.0+ref"}, path)
+
+    cfg = cfg_from_yaml_file("configs/models/lyft_models/pointrcnn_dynamic_obj.yaml")
+    model = PointRCNN(model_cfg=cfg.MODEL, num_class=1)
+    sample = {"points": np.random.RandomState(0).randn(1, 512, 4).astype(np.float32),
+              "gt_boxes": np.zeros((1, 2, 8), np.float32)}
+    state = create_train_state(model, optax.sgd(0.1), sample)
+    new_state, report = load_reference_pth(path, state)
+    assert len(report.converted) > 250
+    w = ref_modules.model_state["point_head.cls_layers.6.weight"].numpy()
+    np.testing.assert_allclose(
+        np.asarray(new_state.params["point_head"]["FCHead_0"]["Dense_0"]["kernel"]),
+        w.T, atol=1e-7)
