@@ -27,6 +27,13 @@ import numpy as np
 __all__ = ["convert_pointrcnn_state", "load_reference_pth"]
 
 
+def _np(v) -> np.ndarray:
+    """torch tensor (possibly requires_grad, on any device) or array → numpy."""
+    if hasattr(v, "detach"):
+        v = v.detach().cpu()
+    return np.asarray(v)
+
+
 def _seq_layers(model_state, prefix):
     """Ordered [(kind, tensors)] for a torch nn.Sequential prefix; kind is
     'lin' (conv/linear) or 'bn'. Robust to ReLU/Dropout index gaps."""
@@ -125,7 +132,7 @@ def convert_pointrcnn_state(model_state, params, batch_stats):
     trees from our PointRCNN init — returned copies have every matching
     module replaced; a structural or shape mismatch raises.
     """
-    ms = {k: np.asarray(getattr(v, "cpu", lambda: v)()) for k, v in model_state.items()}
+    ms = {k: _np(v) for k, v in model_state.items()}
     params = copy.deepcopy(
         {k: v for k, v in _to_plain(params).items()})
     batch_stats = copy.deepcopy(_to_plain(batch_stats))
@@ -188,6 +195,119 @@ def _to_plain(tree):
     return np.asarray(tree)
 
 
+def _conv2d_kernel(w: np.ndarray) -> np.ndarray:
+    """torch Conv2d (out, in, kh, kw) → flax Conv (kh, kw, in, out)."""
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+
+
+def _convtranspose2d_kernel(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d (in, out, kh, kw) → flax ConvTranspose
+    (kh, kw, in, out). flax's transposed conv does not flip the kernel
+    (lax.conv_transpose transpose_kernel=False), torch's does — flip
+    spatially to compensate (verified numerically)."""
+    return np.ascontiguousarray(w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1))
+
+
+def convert_pointpillar_state(model_state, params, batch_stats):
+    """Reference PointPillar model_state → (params, batch_stats, report).
+
+    vfe.pfn_layers.k (Linear+BN1d) → vfe/Dense_k + MaskedBatchNorm_k (the
+    feature order [xyzi, cluster, center] matches PillarVFE);
+    backbone_2d.blocks/deblocks → the flax creation-order Conv_k /
+    ConvTranspose_i / BatchNorm_k numbering of models.grid_detectors
+    .BEVBackbone (per block: conv+bn ×(1+n_layers), then its deblock's
+    ConvTranspose+bn); dense_head conv_cls/box/dir_cls → Conv_0/1/2.
+    """
+    ms = {k: _np(v) for k, v in model_state.items()}
+    params = copy.deepcopy(_to_plain(params))
+    batch_stats = copy.deepcopy(_to_plain(batch_stats))
+    report = _Report()
+
+    def indices(pattern):
+        return sorted({int(m.group(1)) for k in ms
+                       if (m := re.match(pattern, k))})
+
+    # PFN layers
+    for k in indices(r"vfe\.pfn_layers\.(\d+)\."):
+        _put(params, ("vfe", f"Dense_{k}", "kernel"),
+             _dense_kernel(ms[f"vfe.pfn_layers.{k}.linear.weight"]), report, "vfe")
+        _put(params, ("vfe", f"MaskedBatchNorm_{k}", "scale"),
+             ms[f"vfe.pfn_layers.{k}.norm.weight"], report, "vfe")
+        _put(params, ("vfe", f"MaskedBatchNorm_{k}", "bias"),
+             ms[f"vfe.pfn_layers.{k}.norm.bias"], report, "vfe")
+        _put(batch_stats, ("vfe", f"MaskedBatchNorm_{k}", "mean"),
+             ms[f"vfe.pfn_layers.{k}.norm.running_mean"], report, "vfe")
+        _put(batch_stats, ("vfe", f"MaskedBatchNorm_{k}", "var"),
+             ms[f"vfe.pfn_layers.{k}.norm.running_var"], report, "vfe")
+
+    # BEV backbone: replay the flax module-creation order
+    ci = bi = 0
+    for blk in indices(r"backbone_2d\.blocks\.(\d+)\."):
+        for kind, t in _seq_layers(ms, f"backbone_2d.blocks.{blk}"):
+            if kind == "lin":
+                _put(params, ("backbone_2d", f"Conv_{ci}", "kernel"),
+                     _conv2d_kernel(t["weight"]), report, "backbone_2d")
+                ci += 1
+            else:
+                _put(params, ("backbone_2d", f"BatchNorm_{bi}", "scale"),
+                     t["weight"], report, "backbone_2d")
+                _put(params, ("backbone_2d", f"BatchNorm_{bi}", "bias"),
+                     t["bias"], report, "backbone_2d")
+                _put(batch_stats, ("backbone_2d", f"BatchNorm_{bi}", "mean"),
+                     t["running_mean"], report, "backbone_2d")
+                _put(batch_stats, ("backbone_2d", f"BatchNorm_{bi}", "var"),
+                     t["running_var"], report, "backbone_2d")
+                bi += 1
+        de = f"backbone_2d.deblocks.{blk}"
+        if any(k.startswith(de) for k in ms):
+            assert f"ConvTranspose_{blk}" in params["backbone_2d"], \
+                "sub-unit upsample strides (plain conv deblocks) not supported"
+            for kind, t in _seq_layers(ms, de):
+                if kind == "lin":
+                    _put(params, ("backbone_2d", f"ConvTranspose_{blk}", "kernel"),
+                         _convtranspose2d_kernel(t["weight"]), report, de)
+                else:
+                    _put(params, ("backbone_2d", f"BatchNorm_{bi}", "scale"),
+                         t["weight"], report, de)
+                    _put(params, ("backbone_2d", f"BatchNorm_{bi}", "bias"),
+                         t["bias"], report, de)
+                    _put(batch_stats, ("backbone_2d", f"BatchNorm_{bi}", "mean"),
+                         t["running_mean"], report, de)
+                    _put(batch_stats, ("backbone_2d", f"BatchNorm_{bi}", "var"),
+                         t["running_var"], report, de)
+                    bi += 1
+
+    # anchor head 1x1 convs
+    for ref_name, ours in (("conv_cls", "Conv_0"), ("conv_box", "Conv_1"),
+                           ("conv_dir_cls", "Conv_2")):
+        wkey = f"dense_head.{ref_name}.weight"
+        if wkey not in ms:
+            continue
+        _put(params, ("dense_head", ours, "kernel"),
+             _conv2d_kernel(ms[wkey]), report, ref_name)
+        _put(params, ("dense_head", ours, "bias"),
+             ms[f"dense_head.{ref_name}.bias"], report, ref_name)
+
+    report.skipped_ref = [
+        k for k in ms
+        if not k.endswith("num_batches_tracked")
+        and not k.startswith(("vfe.", "backbone_2d.", "dense_head."))
+    ]
+    return params, batch_stats, report
+
+
+def convert_torch_state(model_state, params, batch_stats):
+    """Detect the checkpoint's model family and convert."""
+    keys = list(model_state)
+    if any(k.startswith("backbone_3d.SA_modules") for k in keys):
+        return convert_pointrcnn_state(model_state, params, batch_stats)
+    if any(k.startswith("vfe.pfn_layers") for k in keys):
+        return convert_pointpillar_state(model_state, params, batch_stats)
+    raise NotImplementedError(
+        "unrecognized reference checkpoint family; supported: PointRCNN, "
+        f"PointPillar (got keys like {keys[:3]})")
+
+
 def load_reference_pth(path, state):
     """Reference .pth checkpoint file → TrainState with converted weights.
 
@@ -198,7 +318,7 @@ def load_reference_pth(path, state):
 
     blob = torch.load(path, map_location="cpu", weights_only=False)
     model_state = blob.get("model_state", blob) if isinstance(blob, dict) else blob
-    params, batch_stats, report = convert_pointrcnn_state(
+    params, batch_stats, report = convert_torch_state(
         model_state, state.params, state.batch_stats)
     import jax.numpy as jnp
 

@@ -231,6 +231,121 @@ def test_xyz_up_layer_forward_equality(ref_modules, converted, rng):
     np.testing.assert_allclose(ours, ref_out, atol=2e-5)
 
 
+@pytest.fixture(scope="module")
+def pillar_ref(ref_modules):  # ref_modules installs the import stubs
+    import torch
+    import yaml
+    from easydict import EasyDict
+
+    torch.manual_seed(1)
+    cfg = EasyDict(yaml.safe_load(
+        open("configs/models/lyft_models/pointpillar_dynamic_obj.yaml"))["MODEL"])
+    from pcdet.models.backbones_2d.base_bev_backbone import BaseBEVBackbone
+    from pcdet.models.backbones_3d.vfe.pillar_vfe import PillarVFE
+
+    vfe = PillarVFE(model_cfg=cfg.VFE, num_point_features=4,
+                    voxel_size=[0.16, 0.16, 4.0],
+                    point_cloud_range=[0, -39.68, -3, 69.12, 39.68, 1]).eval()
+    bb2 = BaseBEVBackbone(model_cfg=cfg.BACKBONE_2D, input_channels=64).eval()
+    head = torch.nn.ModuleDict({
+        "conv_cls": torch.nn.Conv2d(384, 2, 1),
+        "conv_box": torch.nn.Conv2d(384, 14, 1),
+        "conv_dir_cls": torch.nn.Conv2d(384, 4, 1),
+    }).eval()
+    with torch.no_grad():
+        for m in list(vfe.modules()) + list(bb2.modules()):
+            if hasattr(m, "running_mean") and m.running_mean is not None:
+                m.running_mean.uniform_(-0.3, 0.3)
+                m.running_var.uniform_(0.5, 1.5)
+    state = {}
+    for prefix, m in (("vfe", vfe), ("backbone_2d", bb2)):
+        for k, v in m.state_dict().items():
+            state[f"{prefix}.{k}"] = v
+    for name, m in head.items():
+        state[f"dense_head.{name}.weight"] = m.weight
+        state[f"dense_head.{name}.bias"] = m.bias
+    return types.SimpleNamespace(vfe=vfe, backbone_2d=bb2, model_state=state)
+
+
+@pytest.fixture(scope="module")
+def pillar_converted(pillar_ref):
+    import jax
+    import jax.numpy as jnp
+
+    from modest_tpu.models import build_network
+    from modest_tpu.train.torch_convert import convert_torch_state
+    from modest_tpu.utils.config import cfg_from_yaml_file
+
+    cfg = cfg_from_yaml_file("configs/models/lyft_models/pointpillar_dynamic_obj.yaml")
+    pcr = np.array(cfg.DATA_CONFIG.POINT_CLOUD_RANGE, np.float32)
+    vs = [0.16, 0.16, 4.0]
+
+    class DS:
+        point_cloud_range = pcr
+        voxel_size = vs
+        grid_size = np.round((pcr[3:6] - pcr[0:3]) / np.array(vs)).astype(np.int64)
+        class_names = cfg.CLASS_NAMES
+
+    model = build_network(cfg.MODEL, num_class=1, dataset=DS)
+    pts = jnp.asarray(
+        np.random.RandomState(0).uniform(0, 30, (1, 1024, 4)).astype(np.float32))
+    var = model.init(
+        {"params": jax.random.PRNGKey(0), "sampler": jax.random.PRNGKey(1)},
+        pts, jnp.zeros((1, 2, 8), jnp.float32), train=True)
+    params, stats, report = convert_torch_state(
+        pillar_ref.model_state, var["params"], var["batch_stats"])
+    return types.SimpleNamespace(params=params, stats=stats, report=report)
+
+
+def test_pillar_full_coverage(pillar_converted):
+    want = set(_leaf_paths(pillar_converted.params)) | set(
+        _leaf_paths(pillar_converted.stats))
+    got = set(pillar_converted.report.converted)
+    missing = want - got
+    assert not missing, f"unconverted leaves: {sorted(missing)[:10]}"
+    assert not pillar_converted.report.skipped_ref
+
+
+def test_pillar_bev_backbone_forward_equality(pillar_ref, pillar_converted, rng):
+    """Full BaseBEVBackbone (3 blocks + 3 deblocks, strided convs +
+    transposed upsampling) ≡ our BEVBackbone on converted weights."""
+    import torch
+
+    from modest_tpu.models.grid_detectors import BEVBackbone
+
+    x = rng.randn(1, 64, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        ref_out = pillar_ref.backbone_2d(
+            {"spatial_features": torch.from_numpy(x)}
+        )["spatial_features_2d"].numpy().transpose(0, 2, 3, 1)
+    ours = _ours_apply(
+        BEVBackbone(layer_nums=(3, 5, 5), layer_strides=(2, 2, 2),
+                    num_filters=(64, 128, 256), upsample_strides=(1, 2, 4),
+                    num_upsample_filters=(128, 128, 128)),
+        pillar_converted.params, pillar_converted.stats,
+        x.transpose(0, 2, 3, 1), ("backbone_2d",))
+    np.testing.assert_allclose(ours, ref_out, atol=3e-4)
+
+
+def test_pillar_pfn_forward_equality(pillar_ref, pillar_converted, rng):
+    """PFN Linear+BN1d (eval) ≡ our Dense + MaskedBatchNorm math."""
+    import torch
+
+    p = pillar_converted.params["vfe"]
+    s = pillar_converted.stats["vfe"]
+    x = rng.randn(40, 10).astype(np.float32)
+    lin = pillar_ref.vfe.pfn_layers[0].linear
+    norm = pillar_ref.vfe.pfn_layers[0].norm
+    with torch.no_grad():
+        ref_out = norm(lin(torch.from_numpy(x))).numpy()
+    z = x @ np.asarray(p["Dense_0"]["kernel"])
+    z = (z - np.asarray(s["MaskedBatchNorm_0"]["mean"])) / np.sqrt(
+        np.asarray(s["MaskedBatchNorm_0"]["var"]) + 1e-3)
+    z = z * np.asarray(p["MaskedBatchNorm_0"]["scale"]) + np.asarray(
+        p["MaskedBatchNorm_0"]["bias"])
+    np.testing.assert_allclose(z, ref_out, atol=2e-5)
+
+
 def test_pth_roundtrip(ref_modules, tmp_path):
     """torch.save → load_reference_pth populates a real TrainState."""
     import optax
