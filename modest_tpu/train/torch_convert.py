@@ -208,39 +208,47 @@ def _convtranspose2d_kernel(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1))
 
 
-def convert_pointpillar_state(model_state, params, batch_stats):
-    """Reference PointPillar model_state → (params, batch_stats, report).
+def _sparse_kernel(w: np.ndarray, want_shape) -> np.ndarray:
+    """spconv weight → our flattened (kvol*in, out) sparse kernel.
 
-    vfe.pfn_layers.k (Linear+BN1d) → vfe/Dense_k + MaskedBatchNorm_k (the
-    feature order [xyzi, cluster, center] matches PillarVFE);
-    backbone_2d.blocks/deblocks → the flax creation-order Conv_k /
-    ConvTranspose_i / BatchNorm_k numbering of models.grid_detectors
-    .BEVBackbone (per block: conv+bn ×(1+n_layers), then its deblock's
-    ConvTranspose+bn); dense_head conv_cls/box/dir_cls → Conv_0/1/2.
+    spconv 1.x (what the reference pins) stores (kz, ky, kx, in, out) —
+    exactly our window-major/channel-minor flattening (the window offsets
+    enumerate z, y, x 'ij', and sparse convs correlate, no flip — verified
+    vs a dense torch Conv3d oracle in tests). spconv 2.x checkpoints store
+    (out, kz, ky, kx, in); detected by shape and permuted.
     """
-    ms = {k: _np(v) for k, v in model_state.items()}
-    params = copy.deepcopy(_to_plain(params))
-    batch_stats = copy.deepcopy(_to_plain(batch_stats))
-    report = _Report()
+    if w.reshape(-1, w.shape[-1]).shape == tuple(want_shape):
+        return np.ascontiguousarray(w.reshape(-1, w.shape[-1]))
+    w2 = w.transpose(1, 2, 3, 4, 0)  # spconv2 (out, kz, ky, kx, in)
+    if w2.reshape(-1, w2.shape[-1]).shape == tuple(want_shape):
+        return np.ascontiguousarray(w2.reshape(-1, w2.shape[-1]))
+    raise ValueError(f"sparse kernel {w.shape} fits neither spconv1 nor "
+                     f"spconv2 layout for target {tuple(want_shape)}")
+
+
+def _put_sparse_conv(ms, wkey, params, path, report):
+    node = params
+    for p in path[:-1]:
+        node = node[p]
+    want = np.asarray(node[path[-1]]).shape
+    _put(params, path, _sparse_kernel(ms[wkey], want), report, wkey)
+
+
+def _put_masked_bn(t, params, stats, base, report, what):
+    _put(params, base + ("scale",), t["weight"], report, what)
+    _put(params, base + ("bias",), t["bias"], report, what)
+    _put(stats, base + ("mean",), t["running_mean"], report, what)
+    _put(stats, base + ("var",), t["running_var"], report, what)
+
+
+def _convert_bev_and_head(ms, params, batch_stats, report):
+    """backbone_2d blocks/deblocks + anchor-head 1x1 convs (shared by the
+    PointPillar and SECOND converters)."""
 
     def indices(pattern):
         return sorted({int(m.group(1)) for k in ms
                        if (m := re.match(pattern, k))})
 
-    # PFN layers
-    for k in indices(r"vfe\.pfn_layers\.(\d+)\."):
-        _put(params, ("vfe", f"Dense_{k}", "kernel"),
-             _dense_kernel(ms[f"vfe.pfn_layers.{k}.linear.weight"]), report, "vfe")
-        _put(params, ("vfe", f"MaskedBatchNorm_{k}", "scale"),
-             ms[f"vfe.pfn_layers.{k}.norm.weight"], report, "vfe")
-        _put(params, ("vfe", f"MaskedBatchNorm_{k}", "bias"),
-             ms[f"vfe.pfn_layers.{k}.norm.bias"], report, "vfe")
-        _put(batch_stats, ("vfe", f"MaskedBatchNorm_{k}", "mean"),
-             ms[f"vfe.pfn_layers.{k}.norm.running_mean"], report, "vfe")
-        _put(batch_stats, ("vfe", f"MaskedBatchNorm_{k}", "var"),
-             ms[f"vfe.pfn_layers.{k}.norm.running_var"], report, "vfe")
-
-    # BEV backbone: replay the flax module-creation order
     ci = bi = 0
     for blk in indices(r"backbone_2d\.blocks\.(\d+)\."):
         for kind, t in _seq_layers(ms, f"backbone_2d.blocks.{blk}"):
@@ -277,7 +285,6 @@ def convert_pointpillar_state(model_state, params, batch_stats):
                          t["running_var"], report, de)
                     bi += 1
 
-    # anchor head 1x1 convs
     for ref_name, ours in (("conv_cls", "Conv_0"), ("conv_box", "Conv_1"),
                            ("conv_dir_cls", "Conv_2")):
         wkey = f"dense_head.{ref_name}.weight"
@@ -288,6 +295,90 @@ def convert_pointpillar_state(model_state, params, batch_stats):
         _put(params, ("dense_head", ours, "bias"),
              ms[f"dense_head.{ref_name}.bias"], report, ref_name)
 
+
+def convert_second_state(model_state, params, batch_stats):
+    """Reference SECOND model_state → (params, batch_stats, report).
+
+    backbone_3d (spconv VoxelBackBone8x) maps stage-for-stage onto our
+    gather-scatter backbone: conv_input/conv1 SubM stacks → the same-named
+    SparseBasicBlocks, each stage's strided opener → conv{s}_down(+_bn),
+    its two SubM blocks → conv{s}_{a,b}, conv_out → conv_out(+_bn). MeanVFE
+    has no parameters; backbone_2d / dense_head share the pillar path.
+    """
+    ms = {k: _np(v) for k, v in model_state.items()}
+    params = copy.deepcopy(_to_plain(params))
+    batch_stats = copy.deepcopy(_to_plain(batch_stats))
+    report = _Report()
+    b3 = ("backbone_3d",)
+
+    def subm_block(ref_prefix, our_name):
+        layers = _seq_layers(ms, ref_prefix)
+        assert [k for k, _ in layers] == ["lin", "bn"], (ref_prefix, layers)
+        _put_sparse_conv(ms, f"{ref_prefix}.0.weight", params,
+                         b3 + (our_name, "SubMConv3d_0", "kernel"), report)
+        _put_masked_bn(layers[1][1], params, batch_stats,
+                       b3 + (our_name, "MaskedBatchNorm_0"), report, ref_prefix)
+
+    subm_block("backbone_3d.conv_input", "conv_input")
+    subm_block("backbone_3d.conv1.0", "conv1")
+    for s in (2, 3, 4):
+        down = f"backbone_3d.conv{s}.0"
+        layers = _seq_layers(ms, down)
+        _put_sparse_conv(ms, f"{down}.0.weight", params,
+                         b3 + (f"conv{s}_down", "kernel"), report)
+        _put_masked_bn(layers[1][1], params, batch_stats,
+                       b3 + (f"conv{s}_down_bn",), report, down)
+        subm_block(f"backbone_3d.conv{s}.1", f"conv{s}_a")
+        subm_block(f"backbone_3d.conv{s}.2", f"conv{s}_b")
+    out_layers = _seq_layers(ms, "backbone_3d.conv_out")
+    _put_sparse_conv(ms, "backbone_3d.conv_out.0.weight", params,
+                     b3 + ("conv_out", "kernel"), report)
+    _put_masked_bn(out_layers[1][1], params, batch_stats,
+                   b3 + ("conv_out_bn",), report, "conv_out")
+
+    _convert_bev_and_head(ms, params, batch_stats, report)
+    report.skipped_ref = [
+        k for k in ms
+        if not k.endswith("num_batches_tracked")
+        and not k.startswith(("vfe.", "backbone_3d.", "backbone_2d.",
+                              "dense_head."))
+    ]
+    return params, batch_stats, report
+
+
+def convert_pointpillar_state(model_state, params, batch_stats):
+    """Reference PointPillar model_state → (params, batch_stats, report).
+
+    vfe.pfn_layers.k (Linear+BN1d) → vfe/Dense_k + MaskedBatchNorm_k (the
+    feature order [xyzi, cluster, center] matches PillarVFE);
+    backbone_2d.blocks/deblocks → the flax creation-order Conv_k /
+    ConvTranspose_i / BatchNorm_k numbering of models.grid_detectors
+    .BEVBackbone (per block: conv+bn ×(1+n_layers), then its deblock's
+    ConvTranspose+bn); dense_head conv_cls/box/dir_cls → Conv_0/1/2.
+    """
+    ms = {k: _np(v) for k, v in model_state.items()}
+    params = copy.deepcopy(_to_plain(params))
+    batch_stats = copy.deepcopy(_to_plain(batch_stats))
+    report = _Report()
+
+    def indices(pattern):
+        return sorted({int(m.group(1)) for k in ms
+                       if (m := re.match(pattern, k))})
+
+    # PFN layers
+    for k in indices(r"vfe\.pfn_layers\.(\d+)\."):
+        _put(params, ("vfe", f"Dense_{k}", "kernel"),
+             _dense_kernel(ms[f"vfe.pfn_layers.{k}.linear.weight"]), report, "vfe")
+        _put(params, ("vfe", f"MaskedBatchNorm_{k}", "scale"),
+             ms[f"vfe.pfn_layers.{k}.norm.weight"], report, "vfe")
+        _put(params, ("vfe", f"MaskedBatchNorm_{k}", "bias"),
+             ms[f"vfe.pfn_layers.{k}.norm.bias"], report, "vfe")
+        _put(batch_stats, ("vfe", f"MaskedBatchNorm_{k}", "mean"),
+             ms[f"vfe.pfn_layers.{k}.norm.running_mean"], report, "vfe")
+        _put(batch_stats, ("vfe", f"MaskedBatchNorm_{k}", "var"),
+             ms[f"vfe.pfn_layers.{k}.norm.running_var"], report, "vfe")
+
+    _convert_bev_and_head(ms, params, batch_stats, report)
     report.skipped_ref = [
         k for k in ms
         if not k.endswith("num_batches_tracked")
@@ -303,9 +394,11 @@ def convert_torch_state(model_state, params, batch_stats):
         return convert_pointrcnn_state(model_state, params, batch_stats)
     if any(k.startswith("vfe.pfn_layers") for k in keys):
         return convert_pointpillar_state(model_state, params, batch_stats)
+    if any(k.startswith("backbone_3d.conv_input") for k in keys):
+        return convert_second_state(model_state, params, batch_stats)
     raise NotImplementedError(
         "unrecognized reference checkpoint family; supported: PointRCNN, "
-        f"PointPillar (got keys like {keys[:3]})")
+        f"PointPillar, SECOND (got keys like {keys[:3]})")
 
 
 def load_reference_pth(path, state):

@@ -346,6 +346,115 @@ def test_pillar_pfn_forward_equality(pillar_ref, pillar_converted, rng):
     np.testing.assert_allclose(z, ref_out, atol=2e-5)
 
 
+def _synth_second_state(rng):
+    """A SECOND model_state with the reference's key names and spconv-1.x
+    weight layout (kz, ky, kx, in, out) — spconv itself can't run here, so
+    the tensors are synthesized; the layout is validated against a dense
+    torch Conv3d oracle below."""
+    import torch
+
+    def t(*shape):
+        return torch.from_numpy(rng.randn(*shape).astype(np.float32))
+
+    def bn(prefix, c, state):
+        state[f"{prefix}.weight"] = t(c).abs() + 0.5
+        state[f"{prefix}.bias"] = t(c)
+        state[f"{prefix}.running_mean"] = t(c) * 0.1
+        state[f"{prefix}.running_var"] = t(c).abs() + 0.5
+
+    s = {}
+    s["backbone_3d.conv_input.0.weight"] = t(3, 3, 3, 4, 16)
+    bn("backbone_3d.conv_input.1", 16, s)
+    s["backbone_3d.conv1.0.0.weight"] = t(3, 3, 3, 16, 16)
+    bn("backbone_3d.conv1.0.1", 16, s)
+    chans = {2: (16, 32), 3: (32, 64), 4: (64, 64)}
+    for st, (ci, co) in chans.items():
+        s[f"backbone_3d.conv{st}.0.0.weight"] = t(3, 3, 3, ci, co)
+        bn(f"backbone_3d.conv{st}.0.1", co, s)
+        for sub in (1, 2):
+            s[f"backbone_3d.conv{st}.{sub}.0.weight"] = t(3, 3, 3, co, co)
+            bn(f"backbone_3d.conv{st}.{sub}.1", co, s)
+    s["backbone_3d.conv_out.0.weight"] = t(3, 1, 1, 64, 128)
+    bn("backbone_3d.conv_out.1", 128, s)
+    # BEV backbone (second_dynamic_obj: layer_nums [5,5], strides [1,2],
+    # filters [128,256], up [1,2] → [256,256])
+    blocks = {0: (256, 128, 5, 1), 1: (128, 256, 5, 2)}
+    for blk, (ci, co, n, _) in blocks.items():
+        s[f"backbone_2d.blocks.{blk}.1.weight"] = t(co, ci, 3, 3)
+        bn(f"backbone_2d.blocks.{blk}.2", co, s)
+        for li in range(n):
+            s[f"backbone_2d.blocks.{blk}.{4 + 3 * li}.weight"] = t(co, co, 3, 3)
+            bn(f"backbone_2d.blocks.{blk}.{5 + 3 * li}", co, s)
+    s["backbone_2d.deblocks.0.0.weight"] = t(128, 256, 1, 1)  # CT (in,out,k,k)
+    bn("backbone_2d.deblocks.0.1", 256, s)
+    s["backbone_2d.deblocks.1.0.weight"] = t(256, 256, 2, 2)
+    bn("backbone_2d.deblocks.1.1", 256, s)
+    for name, co in (("conv_cls", 2), ("conv_box", 14), ("conv_dir_cls", 4)):
+        s[f"dense_head.{name}.weight"] = t(co, 512, 1, 1)
+        s[f"dense_head.{name}.bias"] = t(co)
+    return s
+
+
+def test_second_conversion_coverage_and_dense_oracle(rng):
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from modest_tpu.models import build_network
+    from modest_tpu.models.sparse_conv import SubMConv3d
+    from modest_tpu.train.torch_convert import convert_torch_state
+    from modest_tpu.utils.config import cfg_from_yaml_file
+
+    cfg = cfg_from_yaml_file("configs/models/lyft_models/second_dynamic_obj.yaml")
+    pcr = np.array(cfg.DATA_CONFIG.POINT_CLOUD_RANGE, np.float32)
+    vs = [0.05, 0.05, 0.1]
+
+    class DS:
+        point_cloud_range = pcr
+        voxel_size = vs
+        grid_size = np.round((pcr[3:6] - pcr[0:3]) / np.array(vs)).astype(np.int64)
+        class_names = cfg.CLASS_NAMES
+
+    model = build_network(cfg.MODEL, num_class=1, dataset=DS)
+    pts = jnp.asarray(
+        np.random.RandomState(0).uniform(0, 20, (1, 512, 4)).astype(np.float32))
+    var = model.init(
+        {"params": jax.random.PRNGKey(0), "sampler": jax.random.PRNGKey(1)},
+        pts, jnp.zeros((1, 2, 8), jnp.float32), train=True)
+    state = _synth_second_state(rng)
+    params, stats, report = convert_torch_state(state, var["params"],
+                                                var["batch_stats"])
+    want = set(_leaf_paths(params)) | set(_leaf_paths(stats))
+    missing = want - set(report.converted)
+    assert not missing, f"unconverted leaves: {sorted(missing)[:10]}"
+    assert not report.skipped_ref
+
+    # dense oracle: spconv1-layout weight ≡ torch Conv3d on a fully-active
+    # grid ≡ our SubMConv3d with the converted flattened kernel
+    w_sp = state["backbone_3d.conv_input.0.weight"]          # (3,3,3,4,16)
+    conv = torch.nn.Conv3d(4, 16, 3, padding=1, bias=False)
+    with torch.no_grad():
+        conv.weight.copy_(w_sp.permute(4, 3, 0, 1, 2))       # (out,in,kz,ky,kx)
+    nz = ny = nx = 4
+    dense = rng.randn(nz, ny, nx, 4).astype(np.float32)
+    with torch.no_grad():
+        ref_out = conv(torch.from_numpy(
+            dense.transpose(3, 0, 1, 2)[None])).numpy()[0].transpose(1, 2, 3, 0)
+
+    zz, yy, xx = np.meshgrid(range(nz), range(ny), range(nx), indexing="ij")
+    coords = np.stack([zz.ravel(), yy.ravel(), xx.ravel()], 1).astype(np.int32)
+    keys = (coords[:, 0] * ny * nx + coords[:, 1] * nx + coords[:, 2]).astype(np.int32)
+    feats = dense.reshape(-1, 4)
+    valid = np.ones(len(keys), bool)
+    out = SubMConv3d(16).apply(
+        {"params": {"kernel": jnp.asarray(
+            params["backbone_3d"]["conv_input"]["SubMConv3d_0"]["kernel"])}},
+        jnp.asarray(feats)[None], jnp.asarray(coords)[None],
+        jnp.asarray(keys)[None], jnp.asarray(valid)[None], (nz, ny, nx))[0]
+    np.testing.assert_allclose(np.asarray(out).reshape(nz, ny, nx, 16),
+                               ref_out, atol=2e-4)
+
+
 def test_pth_roundtrip(ref_modules, tmp_path):
     """torch.save → load_reference_pth populates a real TrainState."""
     import optax
