@@ -113,3 +113,41 @@ def test_official_eval_runs():
     # give gt a tall enough 2D bbox so difficulty gating keeps it
     res, ret = kitti_eval.get_official_eval_result(gt, dt, ["Car"])
     assert ret["Car_bev/easy_R40"] > 99.9
+
+
+def test_evaluate_cli_offline_label_dirs(tmp_path):
+    """cli/evaluate.py (reference kitti_object_eval_python/evaluate.py):
+    label-dir vs label-dir AP without a model; self-evaluation with
+    distinct scores reproduces the library path exactly."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from synth_kitti import make_dataset
+
+    from modest_tpu.cli.evaluate import get_label_annos, main
+
+    root = tmp_path / "kitti"
+    make_dataset(root, n_train=4, n_val=0, seed=5)
+    gt_dir = root / "training" / "label_2"
+    det_dir = root / "training" / "dets"
+    det_dir.mkdir()
+    for p in gt_dir.glob("*.txt"):
+        lines = [ln for ln in p.read_text().splitlines() if ln.strip()]
+        (det_dir / p.name).write_text(
+            "\n".join(f"{ln} {0.9 - 0.01 * i:.2f}" for i, ln in enumerate(lines))
+            + "\n")
+
+    res = main(["--label_path", str(gt_dir), "--result_path", str(det_dir),
+                "--metric", "range"])
+    assert "Dynamic_bev_iou0.7/00-80_R40" in res
+    # identical boxes → the library path must agree exactly
+    want_str, want = kitti_eval.get_range_eval_result(
+        get_label_annos(gt_dir), get_label_annos(det_dir), "Dynamic")
+    for k, v in want.items():
+        np.testing.assert_allclose(res[k], v)
+    assert res["Dynamic_bev_iou0.7/00-80_R40"] > 0
+
+    # score filter drops everything → AP 0
+    res0 = main(["--label_path", str(gt_dir), "--result_path", str(det_dir),
+                 "--metric", "range", "--score_thresh", "0.95"])
+    assert res0["Dynamic_bev_iou0.7/00-80_R40"] == 0
