@@ -122,7 +122,8 @@ def main(argv=None):
         final = eval_step(state, model_inputs(batch, cfg.MODEL))
         preds = _trim_predictions(jax.device_get(final), batch)[0]
         frame_id = batch["frame_id"][0]
-        boxes = np.asarray(preds["pred_boxes"]).reshape(-1, 7)
+        boxes = np.asarray(preds["pred_boxes"])
+        boxes = boxes.reshape(-1, boxes.shape[-1])[:, :7]  # 9-dim velocity coders
         scores = np.asarray(preds["pred_scores"]).reshape(-1)
         labels = np.asarray(preds["pred_labels"]).reshape(-1).astype(int)
         print(f"[{i + 1}/{len(dataset)}] {frame_id}: {len(boxes)} detections")

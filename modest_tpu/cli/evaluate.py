@@ -87,15 +87,17 @@ def main(argv=None):
     parser.add_argument("--score_thresh", type=float, default=-1)
     args = parser.parse_args(argv)
 
-    ids = None
     if args.label_split_file:
-        ids = [int(ln) for ln in open(args.label_split_file) if ln.strip()]
+        with open(args.label_split_file) as f:
+            ids = [int(ln) for ln in f if ln.strip()]
+    else:
+        # derive ids from the GT dir once and use them for BOTH dirs —
+        # independent globbing could silently pair mismatched frames
+        prog = re.compile(r"^\d{6}\.txt$")
+        ids = sorted(int(p.stem) for p in Path(args.label_path).glob("*.txt")
+                     if prog.match(p.name))
     gt_annos = get_label_annos(args.label_path, ids)
-    dt_annos = get_label_annos(args.result_path,
-                               ids if ids is not None else None)
-    if ids is None:
-        assert len(gt_annos) == len(dt_annos), \
-            "gt/det dirs differ in frames; pass --label_split_file"
+    dt_annos = get_label_annos(args.result_path, ids)
     if args.score_thresh > 0:
         dt_annos = filter_annos_low_score(dt_annos, args.score_thresh)
 

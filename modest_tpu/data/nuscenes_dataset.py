@@ -257,7 +257,9 @@ class NuScenesDataset:
         from ..eval.nuscenes_eval import nuscenes_eval
 
         gt_annos = [
-            {"name": info["gt_names"], "boxes_lidar": info["gt_boxes"]}
+            {"name": info["gt_names"], "boxes_lidar": info["gt_boxes"],
+             **({"num_lidar_pts": info["num_lidar_pts"]}
+                if "num_lidar_pts" in info else {})}
             for info in self.infos
         ]
         nds_str, nds_dict = nuscenes_eval(

@@ -10,6 +10,10 @@ Inputs are the framework's lidar-frame annos ({name, score, boxes_lidar
 rigid-transform invariant, so evaluating in the lidar frame matches the
 devkit's global-frame numbers for the same matches.
 
+Protocol coverage: per-class eval-range + zero-lidar-point gt filtering
+(devkit filter_eval_boxes) runs on both sides; the recall-span convention
+for TP errors matches the devkit's last-nonzero-confidence index.
+
 Deviation (documented): ground truth here carries no attribute labels, so
 the attribute error (AAE) term is omitted and NDS renormalizes over the
 remaining 9 terms (5*mAP + 4 TP scores). Classes without velocity ground
@@ -32,7 +36,39 @@ N_REC = 101  # 101-point interpolated curves
 _NO_VELOCITY = {"barrier", "traffic_cone"}
 _NO_ORIENT = {"traffic_cone"}
 
+# detection_cvpr_2019 per-class evaluation range (m from ego); boxes beyond
+# are dropped from BOTH gt and predictions (devkit filter_eval_boxes)
+CLASS_RANGE = {
+    "car": 50, "truck": 50, "bus": 50, "trailer": 50,
+    "construction_vehicle": 50, "pedestrian": 40, "motorcycle": 40,
+    "bicycle": 40, "traffic_cone": 30, "barrier": 30,
+}
+_DEFAULT_RANGE = 50
+
 _TP_METRICS = ("trans_err", "scale_err", "orient_err", "vel_err")
+
+
+def filter_eval_boxes(frames, is_gt: bool):
+    """Devkit filter_eval_boxes: drop boxes beyond their class's eval range
+    (ego distance ≡ lidar-frame √(x²+y²)) and gt boxes with zero lidar
+    points (when the annos carry 'num_lidar_pts')."""
+    out = []
+    for f in frames:
+        names = np.asarray(f["name"])
+        if len(names) == 0:
+            out.append(f)
+            continue
+        boxes = np.asarray(f["boxes_lidar"]).reshape(len(names), -1)
+        limits = np.array([CLASS_RANGE.get(str(n), _DEFAULT_RANGE)
+                           for n in names])
+        keep = np.hypot(boxes[:, 0], boxes[:, 1]) < limits
+        if is_gt and "num_lidar_pts" in f:
+            keep &= np.asarray(f["num_lidar_pts"]) > 0
+        g = {"name": names[keep], "boxes_lidar": boxes[keep]}
+        if "score" in f:
+            g["score"] = np.asarray(f["score"])[keep]
+        out.append(g)
+    return out
 
 
 def _cummean(x: np.ndarray) -> np.ndarray:
@@ -132,8 +168,10 @@ def accumulate(gt_frames, det_frames, class_name: str, dist_th: float):
     rec_interp = np.linspace(0, 1, N_REC)
     prec_i = np.interp(rec_interp, rec, prec, right=0)
     conf_i = np.interp(rec_interp, rec, conf, right=0)
+    # devkit max_recall_ind: last recall-grid index with nonzero confidence
+    nz = np.nonzero(conf_i)[0]
     out = {"precision": prec_i, "recall": rec_interp, "confidence": conf_i,
-           "max_recall_ind": int(round(rec[-1] * 100)), "npos": npos,
+           "max_recall_ind": int(nz[-1]) if len(nz) else 0, "npos": npos,
            "has_vel": bool(np.any(~np.isnan(match["vel_err"])))}
     for k in _TP_METRICS:
         tmp = _cummean(np.asarray(match[k], np.float64))
@@ -167,6 +205,8 @@ def nuscenes_eval(gt_frames, det_frames, class_names, pred_velocity=True):
     gt_frames: per-frame {name, boxes_lidar}; det_frames: {name, score,
     boxes_lidar} — the framework's generate_prediction_dicts output.
     """
+    gt_frames = filter_eval_boxes(gt_frames, is_gt=True)
+    det_frames = filter_eval_boxes(det_frames, is_gt=False)
     label_aps = {}
     label_tps = {}
     for cls in class_names:

@@ -65,11 +65,14 @@ def one_cycle_flat_schedules(lr_max: float, moms, div_factor: float,
 
 
 def decay_list_schedule(lr: float, decay_step_list, lr_decay: float,
-                        lr_clip: float, warmup_steps: int = 0):
+                        lr_clip: float, warmup_steps: int = 0,
+                        warmup_eta_min: float = 0.0):
     """Step-decay LambdaLR with optional cosine warmup (reference
     optimization/__init__.py:40-47 lr_lbmd + CosineWarmupLR:103-112, both
-    stepped per iteration). decay_step_list is in ITERATIONS (the reference
-    pre-multiplies DECAY_STEP_LIST epochs by iters-per-epoch)."""
+    stepped per iteration; the reference builds the warmup with
+    eta_min = LR / DIV_FACTOR, optimization/__init__.py:62-66).
+    decay_step_list is in ITERATIONS (the reference pre-multiplies
+    DECAY_STEP_LIST epochs by iters-per-epoch)."""
     steps = jnp.asarray(sorted(int(s) for s in decay_step_list), jnp.float32)
     floor = float(lr_clip) / float(lr)
 
@@ -78,7 +81,8 @@ def decay_list_schedule(lr: float, decay_step_list, lr_decay: float,
         n_passed = (step >= steps).sum().astype(jnp.float32)
         decay = jnp.maximum(jnp.power(lr_decay, n_passed), floor) * lr
         if warmup_steps > 0:
-            warm = lr * (1 - jnp.cos(jnp.pi * step / warmup_steps)) / 2
+            warm = warmup_eta_min + (lr - warmup_eta_min) * (
+                1 - jnp.cos(jnp.pi * step / warmup_steps)) / 2
             return jnp.where(step < warmup_steps, warm, decay)
         return decay
 
@@ -126,6 +130,7 @@ def build_optimizer(opt_cfg, total_steps: int, iters_per_epoch: int | None = Non
                 float(opt_cfg.get("LR_DECAY", 0.1)),
                 float(opt_cfg.get("LR_CLIP", 1e-7)),
                 warmup_steps=warmup,
+                warmup_eta_min=float(opt_cfg.LR) / float(opt_cfg.get("DIV_FACTOR", 10)),
             )
         else:
             lr = float(opt_cfg.LR)

@@ -34,9 +34,10 @@ def _np(v) -> np.ndarray:
     return np.asarray(v)
 
 
-def _seq_layers(model_state, prefix):
+def _seq_layers(model_state, prefix, report=None):
     """Ordered [(kind, tensors)] for a torch nn.Sequential prefix; kind is
-    'lin' (conv/linear) or 'bn'. Robust to ReLU/Dropout index gaps."""
+    'lin' (conv/linear) or 'bn'. Robust to ReLU/Dropout index gaps. Marks
+    every key under the prefix as consumed in the report."""
     idxs = sorted({
         int(m.group(1))
         for k in model_state
@@ -44,10 +45,11 @@ def _seq_layers(model_state, prefix):
     })
     out = []
     for i in idxs:
-        tensors = {
-            k[len(prefix) + len(str(i)) + 2:]: np.asarray(model_state[k])
-            for k in model_state if k.startswith(f"{prefix}.{i}.")
-        }
+        keys = [k for k in model_state if k.startswith(f"{prefix}.{i}.")]
+        if report is not None:
+            report.used.update(keys)
+        tensors = {k[len(prefix) + len(str(i)) + 2:]: np.asarray(model_state[k])
+                   for k in keys}
         if "running_mean" in tensors:
             out.append(("bn", tensors))
         elif "weight" in tensors:
@@ -66,6 +68,7 @@ class _Report:
     def __init__(self):
         self.converted = []
         self.skipped_ref = []
+        self.used = set()  # reference keys actually consumed
 
     def __repr__(self):
         return (f"<torch_convert: {len(self.converted)} tensors converted, "
@@ -94,7 +97,7 @@ def _convert_seq(model_state, prefix, params, stats, base_path, report,
                  final_dense_path=None):
     """Torch Sequential → SharedMLP dict at base_path. With
     final_dense_path, the LAST linear goes there instead (FCHead layout)."""
-    layers = _seq_layers(model_state, prefix)
+    layers = _seq_layers(model_state, prefix, report)
     if not layers:
         raise KeyError(f"no tensors under {prefix}")
     lins = [t for k, t in layers if k == "lin"]
@@ -176,13 +179,7 @@ def convert_pointrcnn_state(model_state, params, batch_stats):
                      ("roi_head", ours, "SharedMLP_0"), report,
                      final_dense_path=("roi_head", ours, "Dense_0"))
 
-    # every non-num_batches_tracked tensor under the three module roots is
-    # consumed by the sequential walks above; anything else is foreign
-    report.skipped_ref = [
-        k for k in ms
-        if not k.endswith("num_batches_tracked")
-        and not k.startswith(("backbone_3d.", "point_head.", "roi_head."))
-    ]
+    report.skipped_ref = _unused(ms, report)
     return params, batch_stats, report
 
 
@@ -208,30 +205,48 @@ def _convtranspose2d_kernel(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1))
 
 
-def _sparse_kernel(w: np.ndarray, want_shape) -> np.ndarray:
+def _sparse_kernel(w: np.ndarray, want_shape, layout: str) -> np.ndarray:
     """spconv weight → our flattened (kvol*in, out) sparse kernel.
 
     spconv 1.x (what the reference pins) stores (kz, ky, kx, in, out) —
     exactly our window-major/channel-minor flattening (the window offsets
     enumerate z, y, x 'ij', and sparse convs correlate, no flip — verified
     vs a dense torch Conv3d oracle in tests). spconv 2.x checkpoints store
-    (out, kz, ky, kx, in); detected by shape and permuted.
+    (out, kz, ky, kx, in). The layout is decided ONCE per checkpoint from a
+    non-square probe layer (square layers fit both layouts by shape).
     """
-    if w.reshape(-1, w.shape[-1]).shape == tuple(want_shape):
-        return np.ascontiguousarray(w.reshape(-1, w.shape[-1]))
-    w2 = w.transpose(1, 2, 3, 4, 0)  # spconv2 (out, kz, ky, kx, in)
-    if w2.reshape(-1, w2.shape[-1]).shape == tuple(want_shape):
-        return np.ascontiguousarray(w2.reshape(-1, w2.shape[-1]))
-    raise ValueError(f"sparse kernel {w.shape} fits neither spconv1 nor "
-                     f"spconv2 layout for target {tuple(want_shape)}")
+    if layout == "spconv2":
+        w = w.transpose(1, 2, 3, 4, 0)
+    flat = w.reshape(-1, w.shape[-1])
+    if flat.shape != tuple(want_shape):
+        raise ValueError(f"sparse kernel {w.shape} ({layout}) does not fit "
+                         f"target {tuple(want_shape)}")
+    return np.ascontiguousarray(flat)
 
 
-def _put_sparse_conv(ms, wkey, params, path, report):
+def _detect_spconv_layout(w_probe: np.ndarray, out_channels: int) -> str:
+    """Decide the checkpoint's sparse-weight layout from a NON-square layer
+    (e.g. conv_input, in=4/5 ≠ out=16)."""
+    if w_probe.shape[-1] == out_channels and w_probe.shape[0] != out_channels:
+        return "spconv1"  # (kz, ky, kx, in, out)
+    if w_probe.shape[0] == out_channels and w_probe.shape[-1] != out_channels:
+        return "spconv2"  # (out, kz, ky, kx, in)
+    raise ValueError(f"cannot decide spconv layout from probe {w_probe.shape} "
+                     f"(out={out_channels}); square probe layer?")
+
+
+def _put_sparse_conv(ms, wkey, params, path, report, layout):
     node = params
     for p in path[:-1]:
         node = node[p]
     want = np.asarray(node[path[-1]]).shape
-    _put(params, path, _sparse_kernel(ms[wkey], want), report, wkey)
+    report.used.add(wkey)
+    _put(params, path, _sparse_kernel(ms[wkey], want, layout), report, wkey)
+
+
+def _unused(ms, report):
+    return [k for k in ms
+            if k not in report.used and not k.endswith("num_batches_tracked")]
 
 
 def _put_masked_bn(t, params, stats, base, report, what):
@@ -251,7 +266,7 @@ def _convert_bev_and_head(ms, params, batch_stats, report):
 
     ci = bi = 0
     for blk in indices(r"backbone_2d\.blocks\.(\d+)\."):
-        for kind, t in _seq_layers(ms, f"backbone_2d.blocks.{blk}"):
+        for kind, t in _seq_layers(ms, f"backbone_2d.blocks.{blk}", report):
             if kind == "lin":
                 _put(params, ("backbone_2d", f"Conv_{ci}", "kernel"),
                      _conv2d_kernel(t["weight"]), report, "backbone_2d")
@@ -270,7 +285,7 @@ def _convert_bev_and_head(ms, params, batch_stats, report):
         if any(k.startswith(de) for k in ms):
             assert f"ConvTranspose_{blk}" in params["backbone_2d"], \
                 "sub-unit upsample strides (plain conv deblocks) not supported"
-            for kind, t in _seq_layers(ms, de):
+            for kind, t in _seq_layers(ms, de, report):
                 if kind == "lin":
                     _put(params, ("backbone_2d", f"ConvTranspose_{blk}", "kernel"),
                          _convtranspose2d_kernel(t["weight"]), report, de)
@@ -290,6 +305,7 @@ def _convert_bev_and_head(ms, params, batch_stats, report):
         wkey = f"dense_head.{ref_name}.weight"
         if wkey not in ms:
             continue
+        report.used.update((wkey, f"dense_head.{ref_name}.bias"))
         _put(params, ("dense_head", ours, "kernel"),
              _conv2d_kernel(ms[wkey]), report, ref_name)
         _put(params, ("dense_head", ours, "bias"),
@@ -310,12 +326,17 @@ def convert_second_state(model_state, params, batch_stats):
     batch_stats = copy.deepcopy(_to_plain(batch_stats))
     report = _Report()
     b3 = ("backbone_3d",)
+    # conv_input is never square (in 4/5 vs out 16) → safe layout probe
+    layout = _detect_spconv_layout(
+        ms["backbone_3d.conv_input.0.weight"],
+        ms["backbone_3d.conv_input.1.weight"].shape[0])
 
     def subm_block(ref_prefix, our_name):
-        layers = _seq_layers(ms, ref_prefix)
+        layers = _seq_layers(ms, ref_prefix, report)
         assert [k for k, _ in layers] == ["lin", "bn"], (ref_prefix, layers)
         _put_sparse_conv(ms, f"{ref_prefix}.0.weight", params,
-                         b3 + (our_name, "SubMConv3d_0", "kernel"), report)
+                         b3 + (our_name, "SubMConv3d_0", "kernel"), report,
+                         layout)
         _put_masked_bn(layers[1][1], params, batch_stats,
                        b3 + (our_name, "MaskedBatchNorm_0"), report, ref_prefix)
 
@@ -323,26 +344,21 @@ def convert_second_state(model_state, params, batch_stats):
     subm_block("backbone_3d.conv1.0", "conv1")
     for s in (2, 3, 4):
         down = f"backbone_3d.conv{s}.0"
-        layers = _seq_layers(ms, down)
+        layers = _seq_layers(ms, down, report)
         _put_sparse_conv(ms, f"{down}.0.weight", params,
-                         b3 + (f"conv{s}_down", "kernel"), report)
+                         b3 + (f"conv{s}_down", "kernel"), report, layout)
         _put_masked_bn(layers[1][1], params, batch_stats,
                        b3 + (f"conv{s}_down_bn",), report, down)
         subm_block(f"backbone_3d.conv{s}.1", f"conv{s}_a")
         subm_block(f"backbone_3d.conv{s}.2", f"conv{s}_b")
-    out_layers = _seq_layers(ms, "backbone_3d.conv_out")
+    out_layers = _seq_layers(ms, "backbone_3d.conv_out", report)
     _put_sparse_conv(ms, "backbone_3d.conv_out.0.weight", params,
-                     b3 + ("conv_out", "kernel"), report)
+                     b3 + ("conv_out", "kernel"), report, layout)
     _put_masked_bn(out_layers[1][1], params, batch_stats,
                    b3 + ("conv_out_bn",), report, "conv_out")
 
     _convert_bev_and_head(ms, params, batch_stats, report)
-    report.skipped_ref = [
-        k for k in ms
-        if not k.endswith("num_batches_tracked")
-        and not k.startswith(("vfe.", "backbone_3d.", "backbone_2d.",
-                              "dense_head."))
-    ]
+    report.skipped_ref = _unused(ms, report)
     return params, batch_stats, report
 
 
@@ -367,6 +383,7 @@ def convert_pointpillar_state(model_state, params, batch_stats):
 
     # PFN layers
     for k in indices(r"vfe\.pfn_layers\.(\d+)\."):
+        report.used.update(kk for kk in ms if kk.startswith(f"vfe.pfn_layers.{k}."))
         _put(params, ("vfe", f"Dense_{k}", "kernel"),
              _dense_kernel(ms[f"vfe.pfn_layers.{k}.linear.weight"]), report, "vfe")
         _put(params, ("vfe", f"MaskedBatchNorm_{k}", "scale"),
@@ -379,11 +396,7 @@ def convert_pointpillar_state(model_state, params, batch_stats):
              ms[f"vfe.pfn_layers.{k}.norm.running_var"], report, "vfe")
 
     _convert_bev_and_head(ms, params, batch_stats, report)
-    report.skipped_ref = [
-        k for k in ms
-        if not k.endswith("num_batches_tracked")
-        and not k.startswith(("vfe.", "backbone_2d.", "dense_head."))
-    ]
+    report.skipped_ref = _unused(ms, report)
     return params, batch_stats, report
 
 

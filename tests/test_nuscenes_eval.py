@@ -100,3 +100,18 @@ def test_unmatched_class_gets_zero():
     _, m = nuscenes_eval(gt, det, ["car"], pred_velocity=False)
     assert m["mAP"] == 0.0
     assert m["car_AP"] == 0.0
+
+
+def test_eval_range_filtering():
+    """Devkit filter_eval_boxes: out-of-range boxes drop from both sides;
+    zero-lidar-point gts drop."""
+    gt = [{"name": np.array(["car", "car", "pedestrian"]),
+           "boxes_lidar": np.array([_box(10, 0), _box(60, 0), _box(35, 20)]),
+           "num_lidar_pts": np.array([5, 5, 0])}]
+    det = [_frame(["car", "car", "pedestrian"],
+                  [_box(10, 0), _box(60, 0), _box(35, 20)], [0.9, 0.8, 0.7])]
+    # car@60m: beyond 50m range on both sides → neither FP nor missed gt;
+    # pedestrian@~40.3m: beyond its 40m range; zero-point gt also dropped
+    _, m = nuscenes_eval(gt, det, ["car", "pedestrian"], pred_velocity=False)
+    np.testing.assert_allclose(m["car_AP"], 1.0, atol=1e-12)
+    assert "pedestrian_AP" not in m  # its only gt was filtered out

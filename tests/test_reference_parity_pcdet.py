@@ -483,12 +483,23 @@ def test_decay_list_schedule_parity():
     for step in [0, 5, 29, 30, 31, 59, 60, 89, 90, 120, 500]:
         np.testing.assert_allclose(float(lr_fn(step)), ref_lr_lbmd(step), rtol=1e-5)
 
-    import math
-
+    # warmup ramp vs the reference's own CosineWarmupLR class (built with
+    # eta_min = LR / DIV_FACTOR, optimization/__init__.py:62-66)
+    sys.path.insert(0, str(REF_PCDET / "tools"))
+    try:
+        from train_utils.optimization.learning_schedules_fastai import CosineWarmupLR
+    finally:
+        sys.path.remove(str(REF_PCDET / "tools"))
+    div_factor = 10.0
     warm_steps = 2 * iters_per_epoch
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=lr0)
+    ref_warm = CosineWarmupLR(opt, T_max=warm_steps, eta_min=lr0 / div_factor)
     lr_fn_w = decay_list_schedule(lr0, decay_steps, lr_decay, lr_clip,
-                                  warmup_steps=warm_steps)
-    for step in [0, 1, 10, 19]:  # CosineWarmupLR ramp, stepped per iter
-        want = (lr0 - 0) * (1 - math.cos(math.pi * step / warm_steps)) / 2
-        np.testing.assert_allclose(float(lr_fn_w(step)), want, rtol=1e-5, atol=1e-12)
+                                  warmup_steps=warm_steps,
+                                  warmup_eta_min=lr0 / div_factor)
+    for step in [0, 1, 10, 19]:  # stepped per iteration, like the reference
+        ref_warm.last_epoch = step - 1
+        ref_warm.step()
+        np.testing.assert_allclose(float(lr_fn_w(step)),
+                                   opt.param_groups[0]["lr"], rtol=1e-5)
     np.testing.assert_allclose(float(lr_fn_w(35)), ref_lr_lbmd(35), rtol=1e-5)

@@ -483,3 +483,50 @@ def test_pth_roundtrip(ref_modules, tmp_path):
     np.testing.assert_allclose(
         np.asarray(new_state.params["point_head"]["FCHead_0"]["Dense_0"]["kernel"]),
         w.T, atol=1e-7)
+
+
+def test_second_spconv2_layout_detection(rng):
+    """A spconv-2.x checkpoint (out, kz, ky, kx, in) converts to the SAME
+    kernels as its spconv-1.x twin — incl. square layers, where per-tensor
+    shape probing would silently misread (layout is decided once from the
+    non-square conv_input)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from modest_tpu.models import build_network
+    from modest_tpu.train.torch_convert import convert_torch_state
+    from modest_tpu.utils.config import cfg_from_yaml_file
+
+    cfg = cfg_from_yaml_file("configs/models/lyft_models/second_dynamic_obj.yaml")
+    pcr = np.array(cfg.DATA_CONFIG.POINT_CLOUD_RANGE, np.float32)
+    vs = [0.05, 0.05, 0.1]
+
+    class DS:
+        point_cloud_range = pcr
+        voxel_size = vs
+        grid_size = np.round((pcr[3:6] - pcr[0:3]) / np.array(vs)).astype(np.int64)
+        class_names = cfg.CLASS_NAMES
+
+    model = build_network(cfg.MODEL, num_class=1, dataset=DS)
+    pts = jnp.asarray(
+        np.random.RandomState(0).uniform(0, 20, (1, 512, 4)).astype(np.float32))
+    var = model.init(
+        {"params": jax.random.PRNGKey(0), "sampler": jax.random.PRNGKey(1)},
+        pts, jnp.zeros((1, 2, 8), jnp.float32), train=True)
+
+    state1 = _synth_second_state(rng)
+    state2 = {}
+    for k, v in state1.items():
+        if k.startswith("backbone_3d") and k.endswith(".0.weight") and v.dim() == 5:
+            v = v.permute(4, 0, 1, 2, 3).contiguous()  # → (out, kz, ky, kx, in)
+        state2[k] = v
+    p1, _, _ = convert_torch_state(state1, var["params"], var["batch_stats"])
+    p2, _, _ = convert_torch_state(state2, var["params"], var["batch_stats"])
+    for name in ("conv1", "conv2_a"):  # square layers: 16→16, 32→32
+        np.testing.assert_array_equal(
+            np.asarray(p1["backbone_3d"][name]["SubMConv3d_0"]["kernel"]),
+            np.asarray(p2["backbone_3d"][name]["SubMConv3d_0"]["kernel"]))
+    np.testing.assert_array_equal(
+        np.asarray(p1["backbone_3d"]["conv_out"]["kernel"]),
+        np.asarray(p2["backbone_3d"]["conv_out"]["kernel"]))
