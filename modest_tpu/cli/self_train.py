@@ -67,6 +67,10 @@ def main(argv=None):
     parser.add_argument("--num_devices", type=int, default=None)
     parser.add_argument("--combine_overrides", nargs="*", default=[],
                         help="extra key=value overrides for combine_labels")
+    parser.add_argument("--pretrained_model", default=None,
+                        help="warm-start each round's training from a "
+                             "checkpoint (orbax dir or a reference .pth via "
+                             "the torch converter)")
     args = parser.parse_args(argv)
 
     from . import combine_labels as combine_cli
@@ -137,6 +141,8 @@ def main(argv=None):
             train_args += ["--batch_size", str(args.batch_size)]
         if args.epochs:
             train_args += ["--epochs", str(args.epochs)]
+        if args.pretrained_model:
+            train_args += ["--pretrained_model", str(args.pretrained_model)]
         if args.num_devices:
             train_args += ["--num_devices", str(args.num_devices)]
         train_cli.main(train_args)

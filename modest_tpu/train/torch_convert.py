@@ -426,8 +426,13 @@ def load_reference_pth(path, state):
     model_state = blob.get("model_state", blob) if isinstance(blob, dict) else blob
     params, batch_stats, report = convert_torch_state(
         model_state, state.params, state.batch_stats)
-    import jax.numpy as jnp
+    if report.skipped_ref:
+        import warnings
 
+        warnings.warn(
+            f"{len(report.skipped_ref)} checkpoint tensors were NOT "
+            f"converted (model keeps its init there), e.g. "
+            f"{report.skipped_ref[:4]}", stacklevel=2)
     params = _tree_jnp(params)
     batch_stats = _tree_jnp(batch_stats)
     return state.replace(params=params, batch_stats=batch_stats), report
