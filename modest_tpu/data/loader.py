@@ -142,34 +142,65 @@ class DataLoader:
         np.random.seed(self._seed_for(batch_i))
         return collate_batch([self.dataset[int(i)] for i in idx], self.max_gt)
 
+    def _get_pool(self):
+        """Lazily create ONE persistent worker pool, reused across epochs.
+
+        Context preference: forkserver — its server process is fork+exec'd
+        clean, so workers never inherit live JAX/libtpu threads or held
+        allocator mutexes (forking after backend init is the documented
+        deadlock hazard); plain fork is the fallback. Re-creating the pool
+        every epoch would re-fork while the previous epoch's async device
+        work is still live."""
+        if getattr(self, "_pool", None) is not None:
+            return self._pool
+        methods = mp.get_all_start_methods()
+        method = "forkserver" if "forkserver" in methods else "fork"
+        ctx = mp.get_context(method)
+        self._pool = ctx.Pool(self.num_workers, initializer=_worker_init,
+                              initargs=(self.dataset, self.max_gt))
+        return self._pool
+
+    def close(self):
+        pool = getattr(self, "_pool", None)
+        if pool is not None:
+            pool.terminate()
+            pool.join()
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def __iter__(self):
         # a single-core host (this dev box has nproc=1) can't overlap
         # builders with anything — run inline rather than pay IPC overhead
         use_procs = (self.num_workers > 0
-                     and "fork" in mp.get_all_start_methods()
                      and (mp.cpu_count() or 1) > 1)
         if not use_procs:
             for bi, idx in enumerate(self._batch_indices()):
                 yield self._build(idx, bi)
             return
-        # forked worker processes; bounded in-flight so results (~0.8 MB
-        # each) never pile up faster than the device consumes them
+        # worker processes; bounded in-flight so results (~0.8 MB each)
+        # never pile up faster than the device consumes them
         depth = max(2, self.num_workers * self.prefetch_factor)
-        ctx = mp.get_context("fork")
-        pool = ctx.Pool(self.num_workers, initializer=_worker_init,
-                        initargs=(self.dataset, self.max_gt))
         try:
-            pending: collections.deque = collections.deque()
+            pool = self._get_pool()
+        except Exception as e:  # pool setup failed → inline fallback
+            print(f"loader: worker pool unavailable ({e!r}); running inline")
+            self.close()
             for bi, idx in enumerate(self._batch_indices()):
-                pending.append(
-                    pool.apply_async(_worker_build, ((self._seed_for(bi), idx),)))
-                if len(pending) >= depth:
-                    yield pending.popleft().get()
-            while pending:
+                yield self._build(idx, bi)
+            return
+        pending: collections.deque = collections.deque()
+        for bi, idx in enumerate(self._batch_indices()):
+            pending.append(
+                pool.apply_async(_worker_build, ((self._seed_for(bi), idx),)))
+            if len(pending) >= depth:
                 yield pending.popleft().get()
-        finally:
-            pool.terminate()
-            pool.join()
+        while pending:
+            yield pending.popleft().get()
 
 
 def prefetch_to_device(loader, mesh=None, size: int = 2):
@@ -220,7 +251,11 @@ def build_dataloader(dataset_cfg, class_names, batch_size, root_path=None, train
 
         if jax.process_count() > 1:
             process_shard = (jax.process_index(), jax.process_count())
-            batch_size = max(1, batch_size // jax.process_count())
+            assert batch_size % jax.process_count() == 0, (
+                f"global batch_size {batch_size} must divide evenly across "
+                f"{jax.process_count()} processes — a silent floor would "
+                f"change the effective batch/LR schedule")
+            batch_size = batch_size // jax.process_count()
     except Exception:
         pass
     loader = DataLoader(dataset, batch_size, shuffle=training, max_gt=max_gt,

@@ -88,19 +88,23 @@ def _assign(iou, thr):
     return rows[ok], cols[ok]
 
 
-def _frame_stats(pred_boxes, pred_scores, gt_boxes, gt_level, thr):
+def _frame_stats(pred_boxes, pred_scores, gt_boxes, gt_level, thr,
+                 needed_ks=None):
     """Per top-k prediction prefix: (tp, w_sum) per level + FP bookkeeping.
 
-    Predictions are pre-sorted by score descending; returns, for each
-    k in 0..n_pred, a dict of stats at 'only the top-k predictions kept'.
-    LEVEL_1 ignores level-2 gts (matched: excluded from both TP and FP;
-    unmatched gts of the other level never count as FN by construction of
-    the per-level gt counts).
+    Predictions are pre-sorted by score descending; returns a dict keyed by
+    k with stats at 'only the top-k predictions kept'. LEVEL_1 ignores
+    level-2 gts (matched: excluded from both TP and FP; unmatched gts of
+    the other level never count as FN by construction of the per-level gt
+    counts). `needed_ks` restricts the Hungarian solves to the prefix sizes
+    the cutoff sweep will actually read (≤ |SCORE_CUTOFFS| distinct values
+    instead of one solve per detection).
     """
     n = len(pred_boxes)
     iou = _iou3d_np(pred_boxes, gt_boxes)
-    stats = []
-    for k in range(n + 1):
+    ks = sorted(set(needed_ks)) if needed_ks is not None else range(n + 1)
+    stats = {}
+    for k in ks:
         pi, gi = _assign(iou[:k], thr)
         row = {}
         for level in (1, 2):
@@ -115,7 +119,7 @@ def _frame_stats(pred_boxes, pred_scores, gt_boxes, gt_level, thr):
             w = float(heading_accuracy(pred_boxes[pi[ok], 6],
                                        gt_boxes[gi[ok], 6]).sum())
             row[level] = (tp, fp, w)
-        stats.append(row)
+        stats[k] = row
     return stats
 
 
@@ -178,7 +182,9 @@ def waymo_detection_metrics(det_annos, gt_annos, class_names,
             dboxes, dscores = dboxes[dd], dscores[dd]
             order = np.argsort(-dscores, kind="stable")
             dboxes, dscores = dboxes[order], dscores[order]
-            frame_stats.append(_frame_stats(dboxes, dscores, gboxes, level, thr))
+            ks = {int((dscores >= c).sum()) for c in SCORE_CUTOFFS}
+            frame_stats.append(
+                _frame_stats(dboxes, dscores, gboxes, level, thr, needed_ks=ks))
             frame_scores.append(dscores)
 
         for level in (1, 2):

@@ -68,12 +68,18 @@ def assign_multiclass_targets(anchors, anchor_cls, matched_thr, unmatched_thr,
         gt_cls = gt[:, -1].astype(jnp.int32)
         ov = aligned_bev_iou(anchors, gt[:, :7])
         same_cls = anchor_cls[:, None] == gt_cls[None, :]
-        ov = jnp.where(gt_valid[None, :] & same_cls, ov, -1.0)
+        pair_ok = gt_valid[None, :] & same_cls
+        ov = jnp.where(pair_ok, ov, -1.0)
         a2g_max = ov.max(axis=1)
         a2g_arg = ov.argmax(axis=1)
         g2a_max = ov.max(axis=0)
         g2a_max = jnp.where(g2a_max <= 0, -1.0, g2a_max)
-        force = (ov == g2a_max[None, :]).any(axis=1) & (a2g_max > 0)
+        # force-match only against REAL, class-matched gt columns with a
+        # positive best overlap: padded columns carry the -1.0 sentinel,
+        # which every anchor's masked ov entry equals — without the pair_ok
+        # gate any anchor with any positive IoU turns foreground
+        force = ((ov == g2a_max[None, :]) & pair_ok
+                 & (g2a_max > 0)[None, :]).any(axis=1) & (a2g_max > 0)
         pos = a2g_max >= matched_thr
         bg = a2g_max < unmatched_thr
         labels = jnp.where(force | pos, anchor_cls, jnp.where(bg, 0, -1))

@@ -28,7 +28,7 @@ def init_multihost(coordinator_address: str | None = None,
         process_id = int(os.environ["SLURM_PROCID"])
         if coordinator_address is None:
             nodelist = os.environ.get("SLURM_STEP_NODELIST", "localhost")
-            first = nodelist.split(",")[0].replace("[", "").split("-")[0]
+            first = _first_slurm_host(nodelist)
             port = os.environ.get("MODEST_TPU_COORD_PORT", "12996")
             coordinator_address = f"{first}:{port}"
     if num_processes in (None, 1):
@@ -39,6 +39,21 @@ def init_multihost(coordinator_address: str | None = None,
         process_id=process_id,
     )
     return True
+
+
+def _first_slurm_host(nodelist: str) -> str:
+    """First hostname of a SLURM nodelist, handling dashed hostnames and
+    bracketed ranges: "tpu-vm-[001-004,007],other" → "tpu-vm-001"
+    (the reference shells out to `scontrol show hostname`,
+    common_utils.py:137; parse locally to avoid the dependency)."""
+    import re
+
+    m = re.match(r"^([^\[,]+)\[([^\]]+)\]", nodelist)
+    if m:
+        prefix, ranges = m.group(1), m.group(2)
+        first = ranges.split(",")[0].split("-")[0]
+        return prefix + first
+    return nodelist.split(",")[0]
 
 
 def shard_indices_for_process(n_items: int, process_id: int | None = None,

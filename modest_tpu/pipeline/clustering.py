@@ -231,10 +231,15 @@ def _cluster_from_knn_batch(idx_b, d2_b, pp_b, valid_b, radius2, eps,
 @functools.partial(jax.jit, static_argnames=("num_iterations",))
 def _smooth_iterate(idx, d2, pp, valid, keep, num_iterations: int):
     w = jnp.where(keep, jnp.exp(-d2 / 2.0), 0.0)
-    w = w / jnp.maximum(w.sum(axis=1, keepdims=True), 1e-30)
+    wsum = w.sum(axis=1, keepdims=True)
+    w = w / jnp.maximum(wsum, 1e-30)
+    # a point with NO kept neighbors (isolated in radius mode, or n == 1)
+    # keeps its own score — an all-zero row would overwrite it with 0,
+    # silently reclassifying a persistent point as maximally ephemeral
+    has_nbr = valid & (wsum[:, 0] > 0)
 
     def body(_, cur):
-        return jnp.where(valid, (w * cur[idx]).sum(axis=1), cur)
+        return jnp.where(has_nbr, (w * cur[idx]).sum(axis=1), cur)
 
     return jax.lax.fori_loop(0, num_iterations, body, pp)
 

@@ -19,15 +19,18 @@ _CAMERA_KEYS = ("images", "trans_lidar_to_cam", "trans_cam_to_img",
                 "depth_maps", "gt_boxes2d")
 
 
-def model_inputs(batch, model_cfg=None):
+def model_inputs(batch, model_cfg=None, eval_mode: bool = False):
     """Batch dict → the `points` argument of the train/eval steps: the point
     tensor for lidar models, a dict of camera inputs for CaDDN. Dispatch is
     on the MODEL config — a lidar model may legally train on a dataset whose
-    GET_ITEM_LIST also loads images."""
+    GET_ITEM_LIST also loads images. Eval drops the train-only supervision
+    tensors (depth_maps, gt_boxes2d) — dead inputs that would otherwise ship
+    ~2 MB/frame of depth map host→device per eval batch."""
     is_camera = (model_cfg is not None
                  and str(model_cfg.get("NAME", "")) == "CaDDN")
     if is_camera or (model_cfg is None and "images" in batch):
-        return {k: jnp.asarray(batch[k]) for k in _CAMERA_KEYS if k in batch}
+        keys = _CAMERA_KEYS[:3] if eval_mode else _CAMERA_KEYS
+        return {k: jnp.asarray(batch[k]) for k in keys if k in batch}
     return jnp.asarray(batch["points"])
 
 
@@ -138,7 +141,7 @@ def eval_one_epoch(model, model_cfg, state, loader, dataset, class_names, *,
     t0 = time.time()
     n_frames = 0
     for batch in prefetch_to_device(loader, mesh, size=2):
-        final = eval_step(state, model_inputs(batch, model_cfg))
+        final = eval_step(state, model_inputs(batch, model_cfg, eval_mode=True))
         final = jax.device_get(final)
         preds = _trim_predictions(final, batch)
         if "gt_boxes" in batch:

@@ -370,3 +370,21 @@ def test_grid_detector_forward_backward(rng, which):
     out_e = model.apply(variables, pts, train=False, max_voxels=512)
     final = gd.grid_post_process(out_e, cfg.POST_PROCESSING)
     assert final["boxes"].shape[0] == 2
+
+
+def test_assign_multiclass_targets_padded_gt_never_forces():
+    """Same padded-gt sentinel bug class as assign_anchor_targets: a -1.0
+    masked column must not force-match every positive-IoU anchor."""
+    from modest_tpu.models.anchor_head_multi import assign_multiclass_targets
+
+    anchors = jnp.array([[10, 1.8, 0, 4, 2, 1.6, 0.0],   # IoU ~0.08 with gt
+                         [50, 20, 0, 4, 2, 1.6, 0.0]], jnp.float32)
+    anchor_cls = jnp.array([1, 1], jnp.int32)
+    gt = jnp.zeros((1, 3, 8), jnp.float32)  # rows 1-2 are padding
+    gt = gt.at[0, 0, :7].set(jnp.array([10, 0, 0, 4, 2, 1.6, 0.0]))
+    gt = gt.at[0, 0, 7].set(1)
+    labels, _, _, _ = assign_multiclass_targets(
+        anchors, anchor_cls, jnp.full((2,), 0.6), jnp.full((2,), 0.45),
+        gt, ResidualCoder())
+    assert int(labels[0, 0]) == 1  # best-for-the-gt → legitimately forced
+    assert int(labels[0, 1]) == 0  # zero overlap stays background

@@ -521,3 +521,28 @@ def test_generate_masks_for_frames_matches_single():
             np.testing.assert_allclose(ob.t, os_.t, atol=1e-6)
             np.testing.assert_allclose([ob.l, ob.w, ob.h, ob.ry],
                                        [os_.l, os_.w, os_.h, os_.ry], atol=1e-6)
+
+
+def test_smooth_pp_score_isolated_point_keeps_value():
+    """Radius-mode smoothing: a point with no neighbor in radius keeps its
+    own score (an all-zero weight row used to overwrite it with 0 —
+    reclassifying a persistent point as maximally ephemeral)."""
+    from modest_tpu.pipeline.clustering import smooth_pp_score
+
+    rng = np.random.RandomState(0)
+    ptc = rng.uniform(0, 2, (40, 3)).astype(np.float32)
+    ptc[0] = [500.0, 500.0, 0.0]  # isolated
+    pp = rng.uniform(0, 1, 40).astype(np.float32)
+    pp[0] = 0.93
+    out = smooth_pp_score(ptc, pp, neighbor_type="radius", radius=1.0,
+                          n_neighbors=10, num_iterations=5)
+    np.testing.assert_allclose(out[0], 0.93, atol=1e-6)
+
+
+def test_first_slurm_host():
+    from modest_tpu.parallel.multihost import _first_slurm_host
+
+    assert _first_slurm_host("tpu-vm-[001-004,007],other") == "tpu-vm-001"
+    assert _first_slurm_host("node17,node18") == "node17"
+    assert _first_slurm_host("localhost") == "localhost"
+    assert _first_slurm_host("gpu-a-3") == "gpu-a-3"
