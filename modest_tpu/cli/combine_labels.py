@@ -30,16 +30,17 @@ def main(argv=None):
 
     with open(cfg.det_result_path, "rb") as f:
         det_bboxes = pickle.load(f)
-    idx_list = np.array([int(d["frame_id"]) for d in det_bboxes])
+    # shard POSITIONS so every part pairs its ids with its own detections
+    positions = np.arange(len(det_bboxes))
     if cfg.total_part > 1:
-        idx_list = shard_idx_list(idx_list, cfg.total_part, cfg.part)
+        positions = shard_idx_list(positions, cfg.total_part, cfg.part)
     os.makedirs(cfg.save_path, exist_ok=True)
     if cfg.data_paths.bbox_info_save_dst is None:
         eprint("Warning: not adding generated bboxes")
 
-    for idx, det_bbox in zip(tqdm(idx_list), det_bboxes):
-        idx = int(idx)
-        assert idx == int(det_bbox["frame_id"])
+    for pos in tqdm(positions):
+        det_bbox = det_bboxes[int(pos)]
+        idx = int(det_bbox["frame_id"])
         if cfg.data_paths.bbox_info_save_dst is not None:
             with open(osp.join(cfg.data_paths.bbox_info_save_dst, f"{idx:06d}.pkl"), "rb") as f:
                 gen_objs = pickle.load(f)

@@ -157,13 +157,17 @@ def main(argv=None):
             "--set", "DATA_CONFIG.DATA_SPLIT.test", "train",
             "DATA_CONFIG.INFO_PATH.test", "[kitti_infos_train.pkl]",
         ]
+        extra = []
         if args.batch_size:
-            test_args = test_args[:-6] + ["--batch_size", str(args.batch_size)] + test_args[-6:]
+            extra += ["--batch_size", str(args.batch_size)]
         if args.num_devices:
-            test_args = test_args[:-6] + ["--num_devices", str(args.num_devices)] + test_args[-6:]
-        test_cli.main(test_args)
-        # normalize result location
-        produced = sorted((round_out / "eval_train_root").glob("eval/epoch_*/train/result.pkl"))
+            extra += ["--num_devices", str(args.num_devices)]
+        at = test_args.index("--set")  # --set must stay last (REMAINDER)
+        test_cli.main(test_args[:at] + extra + test_args[at:])
+        # normalize result location (numeric epoch sort: 'epoch_10' > 'epoch_9')
+        produced = sorted(
+            (round_out / "eval_train_root").glob("eval/epoch_*/train/result.pkl"),
+            key=lambda p: int(p.parent.parent.name.split("_")[-1]))
         assert produced, "train-split inference produced no result.pkl"
         final_result.parent.mkdir(parents=True, exist_ok=True)
         if final_result.exists():

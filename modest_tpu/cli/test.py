@@ -71,7 +71,6 @@ def main(argv=None):
         cfg.DATA_CONFIG, cfg.CLASS_NAMES, batch_size, training=False,
         num_workers=args.workers,
     )
-    eval_loader.drop_last = False
     model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset=eval_set)
 
     # template state for restoration (optimizer state unused at eval)
@@ -121,6 +120,10 @@ def main(argv=None):
     last_new = time.time()
     results = None
     while True:
+        # orbax caches all_steps() at construction — refresh to see
+        # checkpoints written by a concurrently running training process
+        if hasattr(manager, "reload"):
+            manager.reload()
         pending = sorted(set(manager.all_steps()) - done)
         if not pending:
             waited = (time.time() - last_new) / 60

@@ -121,7 +121,10 @@ def main(argv=None):
         merge_all_iters_to_one_epoch=args.merge_all_iters_to_one_epoch,
         max_gt=args.max_gt, num_workers=args.workers,
     )
-    total_steps = len(train_loader) * epochs
+    # a merged loader already spans total_epochs passes (one traversal =
+    # the whole run); otherwise each epoch is one traversal
+    total_steps = (len(train_loader) if args.merge_all_iters_to_one_epoch
+                   else len(train_loader) * epochs)
 
     model = build_network(cfg.MODEL, num_class=len(cfg.CLASS_NAMES), dataset=train_set)
     optimizer = build_optimizer(cfg.OPTIMIZATION, total_steps,
@@ -167,7 +170,8 @@ def main(argv=None):
         merge_all_iters_to_one_epoch=args.merge_all_iters_to_one_epoch,
         metrics_logger=metrics_logger,
     )
-    save_checkpoint(manager, __import__("jax").device_get(state), epochs)
+    if manager.latest_step() != epochs:  # interval save may already cover it
+        save_checkpoint(manager, __import__("jax").device_get(state), epochs)
     logger.info("training finished")
 
     if args.eval_after_train:
@@ -176,7 +180,6 @@ def main(argv=None):
             training=False, logger=logger, max_gt=args.max_gt,
             num_workers=args.workers,
         )
-        eval_loader.drop_last = False
         result_dir = out_root / "eval" / f"epoch_{epochs}" / "val"
         result_dir.mkdir(parents=True, exist_ok=True)
         eval_one_epoch(

@@ -82,12 +82,24 @@ def merge_results_dist(part_results: list, tmpdir, part_id: int | None = None,
 
     import jax
 
+    import os
+
     pid = jax.process_index() if part_id is None else part_id
     nproc = jax.process_count() if num_parts is None else num_parts
     tmpdir = Path(tmpdir)
     tmpdir.mkdir(parents=True, exist_ok=True)
-    with open(tmpdir / f"result_part_{pid}.pkl", "wb") as f:
+    # atomic publish: a reader can never observe a partially-written pickle
+    final_path = tmpdir / f"result_part_{pid}.pkl"
+    tmp_path = tmpdir / f".result_part_{pid}.pkl.tmp"
+    with open(tmp_path, "wb") as f:
         pickle.dump(part_results, f)
+    os.replace(tmp_path, final_path)
+    if part_id is None and jax.process_count() > 1:
+        # real multi-process run: barrier so process 0 can also safely
+        # DELETE parts after merging (reference uses dist.barrier())
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("merge_results_dist_write")
     if pid != 0:
         return None
     parts = []
@@ -100,6 +112,7 @@ def merge_results_dist(part_results: list, tmpdir, part_id: int | None = None,
             time.sleep(2)
         with open(path, "rb") as f:
             parts.append(pickle.load(f))
+        path.unlink()  # never merge a stale part from a previous run
     # inverse interleave: item j of part i was global index i + j*nproc
     total = sum(len(p) for p in parts)
     merged = [None] * total

@@ -43,32 +43,29 @@ def train_model(model, model_cfg, optimizer, state, loader, *, mesh=None,
     rng = jax.random.PRNGKey(rng_seed)
     log = logger.info if logger else print
 
-    if merge_all_iters_to_one_epoch:
-        # the dataset already multiplies its length; run "one epoch" per save
-        epochs_iter = range(start_epoch, total_epochs)
-    else:
-        epochs_iter = range(start_epoch, total_epochs)
-
-    for epoch in epochs_iter:
-        loader.set_epoch(epoch)
+    def run_epoch(epoch, batches, its_this_epoch):
+        nonlocal state
         t0 = time.time()
         n_it = 0
         last_metrics = {}
-        for batch in prefetch_to_device(loader, mesh, size=2):
+        for batch in batches:
             state, metrics = train_step(
-                state, model_inputs(batch, model_cfg), jnp.asarray(batch["gt_boxes"]), rng
+                state, model_inputs(batch, model_cfg),
+                jnp.asarray(batch["gt_boxes"]), rng,
             )
             n_it += 1
             if n_it % log_interval == 0:
                 last_metrics = {k: float(v) for k, v in metrics.items()}
                 lr = current_lr(state.opt_state)
                 log(
-                    f"epoch {epoch} it {n_it}/{len(loader)} "
+                    f"epoch {epoch} it {n_it}/{its_this_epoch} "
                     f"loss {last_metrics['loss']:.4f} lr {lr:.6f}"
                 )
                 if metrics_logger is not None:
                     metrics_logger.log(int(state.step), {**last_metrics, "lr": lr},
                                        prefix="train/")
+            if n_it >= its_this_epoch:
+                break
         last_metrics = {k: float(v) for k, v in metrics.items()} if n_it else {}
         log(
             f"epoch {epoch} done in {time.time() - t0:.1f}s "
@@ -76,6 +73,25 @@ def train_model(model, model_cfg, optimizer, state, loader, *, mesh=None,
         )
         if ckpt_manager is not None and (epoch + 1) % ckpt_save_interval == 0:
             save_checkpoint(ckpt_manager, jax.device_get(state), epoch + 1)
+
+    if merge_all_iters_to_one_epoch:
+        # the merged dataset already holds total_epochs × N samples: ONE
+        # pass over the loader is the whole training run, checkpointed every
+        # len/total_epochs iterations (reference train_utils.train_model —
+        # iterating the merged loader per epoch would train total_epochs²
+        # effective epochs)
+        its_per_epoch = max(len(loader) // max(total_epochs, 1), 1)
+        loader.set_epoch(0)
+        it = iter(prefetch_to_device(loader, mesh, size=2))
+        for _ in range(start_epoch * its_per_epoch):  # resume: skip consumed
+            next(it, None)
+        for epoch in range(start_epoch, total_epochs):
+            run_epoch(epoch, it, its_per_epoch)
+    else:
+        for epoch in range(start_epoch, total_epochs):
+            loader.set_epoch(epoch)
+            run_epoch(epoch, prefetch_to_device(loader, mesh, size=2),
+                      len(loader))
     return state
 
 
@@ -130,6 +146,16 @@ def _recall_update(recall_dict, final, gt_boxes, thresh_list):
     return recall_dict
 
 
+def _local_rows(x):
+    """Batch-sharded global array → THIS process's rows (multi-host eval:
+    jax.device_get on a global array spanning other hosts' devices raises;
+    each process handles its own slice, merged afterwards)."""
+    if jax.process_count() > 1 and hasattr(x, "addressable_shards"):
+        shards = sorted(x.addressable_shards, key=lambda s: s.index)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    return np.asarray(x)
+
+
 def eval_one_epoch(model, model_cfg, state, loader, dataset, class_names, *,
                    mesh=None, result_dir=None, logger=None, save_to_file=False):
     eval_step = make_eval_step(model, model_cfg, mesh)
@@ -142,12 +168,20 @@ def eval_one_epoch(model, model_cfg, state, loader, dataset, class_names, *,
     n_frames = 0
     for batch in prefetch_to_device(loader, mesh, size=2):
         final = eval_step(state, model_inputs(batch, model_cfg, eval_mode=True))
-        final = jax.device_get(final)
+        final = {k: (_local_rows(v) if v is not None else None)
+                 for k, v in final.items()}
         preds = _trim_predictions(final, batch)
-        if "gt_boxes" in batch:
+        # wrap-padded tail-batch duplicates contribute to NOTHING (annos,
+        # recall, counts) — they already appeared earlier this epoch
+        fresh = [i for i, fid in enumerate(batch["frame_id"])
+                 if fid not in seen]
+        if "gt_boxes" in batch and fresh:
+            sub = np.asarray(fresh)
+            final_f = {k: (v[sub] if v is not None else None)
+                       for k, v in final.items()}
             recall_dict = _recall_update(
-                recall_dict, final, np.asarray(batch["gt_boxes"]), thresh_list
-            )
+                recall_dict, final_f, np.asarray(batch["gt_boxes"])[sub],
+                thresh_list)
         annos = dataset.generate_prediction_dicts(
             batch, preds, class_names,
             output_path=result_dir if save_to_file else None,
@@ -160,6 +194,22 @@ def eval_one_epoch(model, model_cfg, state, loader, dataset, class_names, *,
             n_frames += 1
     sec_per_example = (time.time() - t0) / max(n_frames, 1)
     log(f"eval: {n_frames} frames, {sec_per_example:.4f} sec_per_example")
+
+    if jax.process_count() > 1:
+        # merge per-process shards; only process 0 evaluates/saves
+        from ..parallel.multihost import merge_results_dist
+
+        merge_dir = Path(result_dir or ".") / "merge_tmp"
+        merged = merge_results_dist(det_annos, merge_dir)
+        merged_rec = merge_results_dist([recall_dict], merge_dir / "recall")
+        if merged is None:  # non-zero process
+            return None, {}
+        det_annos = [a for a in merged if a is not None]
+        recall_dict = {}
+        for rd in merged_rec:
+            for k, v in rd.items():
+                recall_dict[k] = recall_dict.get(k, 0) + v
+        n_frames = len(det_annos)
 
     if recall_dict.get("gt", 0) > 0:
         for t in thresh_list:

@@ -208,3 +208,28 @@ def test_load_params_partial(tmp_path):
     # reshaped / new layers keep B's fresh init
     np.testing.assert_array_equal(np.asarray(loaded.params["d1"]["kernel"]),
                                   np.asarray(pb["d1"]["kernel"]))
+
+
+def test_merge_all_iters_trains_one_pass(synth_env, tmp_path):
+    """--merge_all_iters_to_one_epoch: the merged loader already spans
+    total_epochs passes, so the run executes len(loader) steps TOTAL
+    (reference train_utils semantics) — not len(loader) × epochs."""
+    import jax
+
+    from modest_tpu.cli import train as train_cli
+
+    root, cfg_file = synth_env
+    out_dir = tmp_path / "out_merged"
+    state = train_cli.main(
+        [
+            "--cfg_file", str(cfg_file),
+            "--batch_size", "2",
+            "--epochs", "2",
+            "--num_devices", "2",
+            "--fix_random_seed",
+            "--merge_all_iters_to_one_epoch",
+            "--output_dir", str(out_dir),
+        ]
+    )
+    # merged dataset: 4 train frames × 2 epochs = 8 samples → 4 steps @B=2
+    assert int(jax.device_get(state.step)) == 4
