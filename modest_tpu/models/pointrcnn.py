@@ -128,7 +128,7 @@ class PointRCNN(nn.Module):
             out["roi_targets"] = targets
 
         pooled = pool_roi_features(
-            xyz, feats, jax.lax.stop_gradient(point_scores), rois, roi_valid,
+            xyz, feats, point_scores, rois, roi_valid,
             num_sampled_points=int(cfg.ROI_HEAD.ROI_POINT_POOL.NUM_SAMPLED_POINTS),
             depth_normalizer=float(cfg.ROI_HEAD.ROI_POINT_POOL.DEPTH_NORMALIZER),
             pool_extra_width=tuple(cfg.ROI_HEAD.ROI_POINT_POOL.POOL_EXTRA_WIDTH),

@@ -83,10 +83,18 @@ def sample_rois_for_rcnn(rng, rois, roi_scores, roi_labels, gt_boxes, cfg):
     fg_per_image = int(round(cfg.FG_RATIO * S))
     fg_thresh = min(cfg.REG_FG_THRESH, cfg.CLS_FG_THRESH)
 
+    by_class = bool(cfg.get("SAMPLE_ROI_BY_EACH_CLASS", False))
+
     def per_sample(key, roi, score, label, gt):
         gt_valid = jnp.abs(gt).sum(-1) > 0
         iou = boxes_iou3d(roi, gt[:, :7])
-        iou = jnp.where(gt_valid[None, :], iou, -1.0)
+        pair_ok = gt_valid[None, :]
+        if by_class:
+            # reference get_max_iou_with_same_class: a roi only matches gts
+            # of its own predicted class (multi-class configs)
+            pair_ok = pair_ok & (label[:, None].astype(jnp.int32)
+                                 == gt[:, -1].astype(jnp.int32)[None, :])
+        iou = jnp.where(pair_ok, iou, -1.0)
         max_ov = jnp.clip(iou.max(axis=1), 0.0, None)
         gt_assign = iou.argmax(axis=1)
 
@@ -112,10 +120,13 @@ def sample_rois_for_rcnn(rng, rois, roi_scores, roi_labels, gt_boxes, cfg):
         slot = jnp.arange(S, dtype=jnp.int32)
         fg_pick = fg_order[slot % jnp.maximum(n_fg_avail, 1)]
 
-        # bg: hard first then easy, both with replacement
+        # bg: hard first then easy, both with replacement. The hard quota is
+        # capped by the HARD POOL SIZE (reference sample_bg_inds:
+        # min(int(bg*ratio), len(hard_bg_inds))) — capping by n_bg would
+        # resample a tiny hard pool ~n_bg times and starve the easy pool
         hard_target = jnp.minimum(
             (n_bg.astype(jnp.float32) * cfg.HARD_BG_RATIO).astype(jnp.int32),
-            jnp.where(n_hard > 0, n_bg, 0),
+            n_hard,
         )
         hard_target = jnp.where(n_hard == 0, 0, jnp.where(n_easy == 0, n_bg, hard_target))
         hard_idx, _ = _compact(hard_mask)

@@ -179,3 +179,75 @@ def test_eval_deterministic(model_and_batch):
     out2 = model.apply(variables, points, train=False)
     np.testing.assert_array_equal(np.asarray(out1["batch_box_preds"]),
                                   np.asarray(out2["batch_box_preds"]))
+
+
+def test_sample_rois_hard_bg_capped_by_pool(rng):
+    """Hard-bg quota caps at the HARD POOL SIZE (reference sample_bg_inds),
+    not at n_bg — a 2-roi hard pool must not fill ~80% of bg slots."""
+    import jax
+
+    from modest_tpu.models.roi_head import sample_rois_for_rcnn
+    from modest_tpu.utils.config import Config
+
+    cfg = Config({
+        "ROI_PER_IMAGE": 64, "FG_RATIO": 0.5, "REG_FG_THRESH": 0.55,
+        "CLS_FG_THRESH": 0.6, "CLS_BG_THRESH": 0.45, "CLS_BG_THRESH_LO": 0.1,
+        "HARD_BG_RATIO": 0.8, "SAMPLE_ROI_BY_EACH_CLASS": True,
+        "CLS_SCORE_TYPE": "cls",
+    })
+    R = 96
+    gt = np.zeros((1, 4, 8), np.float32)
+    gt[0, 0, :7] = [10, 0, 0, 4, 2, 1.6, 0.0]
+    gt[0, 0, 7] = 1
+    rois = np.zeros((1, R, 7), np.float32)
+    # 2 hard-band rois (IoU in [0.1, 0.55)), the rest zero-overlap easy
+    rois[0, 0, :7] = [11.5, 0, 0, 4, 2, 1.6, 0.0]
+    rois[0, 1, :7] = [11.3, 0, 0, 4, 2, 1.6, 0.0]
+    for i in range(2, R):
+        rois[0, i, :7] = [100 + 3 * i, 50, 0, 4, 2, 1.6, 0.0]
+    scores = np.zeros((1, R), np.float32)
+    labels = np.ones((1, R), np.int32)
+    targets = sample_rois_for_rcnn(
+        jax.random.PRNGKey(0), jnp.asarray(rois), jnp.asarray(scores),
+        jnp.asarray(labels), jnp.asarray(gt), cfg)
+    ov = np.asarray(targets["gt_iou_of_rois"][0])
+    n_hard_sampled = int(((ov >= 0.1) & (ov < 0.55)).sum())
+    # n_fg=0 (no roi ≥ fg_thresh... roi0/1 iou<0.55) → 64 bg slots; the hard
+    # quota must be min(int(64*0.8), 2) = 2, not ~51
+    assert n_hard_sampled <= 2, n_hard_sampled
+
+
+def test_sample_rois_by_each_class(rng):
+    """SAMPLE_ROI_BY_EACH_CLASS: a roi labeled class 2 overlapping a class-1
+    gt at high IoU must NOT become foreground for that gt."""
+    import jax
+
+    from modest_tpu.models.roi_head import sample_rois_for_rcnn
+    from modest_tpu.utils.config import Config
+
+    base = {
+        "ROI_PER_IMAGE": 8, "FG_RATIO": 0.5, "REG_FG_THRESH": 0.55,
+        "CLS_FG_THRESH": 0.6, "CLS_BG_THRESH": 0.45, "CLS_BG_THRESH_LO": 0.1,
+        "HARD_BG_RATIO": 0.8, "CLS_SCORE_TYPE": "cls",
+    }
+    gt = np.zeros((1, 2, 8), np.float32)
+    gt[0, 0, :7] = [10, 0, 0, 4, 2, 1.6, 0.0]
+    gt[0, 0, 7] = 1  # class 1
+    rois = np.zeros((1, 8, 7), np.float32)
+    rois[0, 0, :7] = [10, 0, 0, 4, 2, 1.6, 0.0]  # perfect overlap
+    for i in range(1, 8):
+        rois[0, i, :7] = [100 + 3 * i, 50, 0, 4, 2, 1.6, 0.0]
+    scores = np.zeros((1, 8), np.float32)
+    labels = np.full((1, 8), 2, np.int32)  # wrong class
+
+    t_on = sample_rois_for_rcnn(
+        jax.random.PRNGKey(0), jnp.asarray(rois), jnp.asarray(scores),
+        jnp.asarray(labels), jnp.asarray(gt),
+        Config({**base, "SAMPLE_ROI_BY_EACH_CLASS": True}))
+    assert float(np.asarray(t_on["gt_iou_of_rois"]).max()) == 0.0
+
+    t_off = sample_rois_for_rcnn(
+        jax.random.PRNGKey(0), jnp.asarray(rois), jnp.asarray(scores),
+        jnp.asarray(labels), jnp.asarray(gt),
+        Config({**base, "SAMPLE_ROI_BY_EACH_CLASS": False}))
+    assert float(np.asarray(t_off["gt_iou_of_rois"]).max()) > 0.9
