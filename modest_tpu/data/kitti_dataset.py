@@ -330,8 +330,9 @@ class KittiDataset:
         """Augment → class-filter → encode → process (reference dataset.py:109-170)."""
         if self.training:
             assert "gt_boxes" in data_dict
-            mask = np.array([n in self.class_names for n in data_dict["gt_names"]], bool)
-            data_dict = self.data_augmentor({**data_dict, "gt_boxes_mask": mask})
+            if self.data_augmentor is not None:
+                mask = np.array([n in self.class_names for n in data_dict["gt_names"]], bool)
+                data_dict = self.data_augmentor({**data_dict, "gt_boxes_mask": mask})
 
         if data_dict.get("gt_boxes") is not None:
             selected = [i for i, n in enumerate(data_dict["gt_names"]) if n in self.class_names]

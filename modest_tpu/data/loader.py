@@ -56,6 +56,8 @@ def collate_batch(samples: list[dict], max_gt: int = MAX_GT_DEFAULT) -> dict:
         batch["calib"] = [s["calib"] for s in samples]
     if "image_shape" in samples[0]:
         batch["image_shape"] = [s["image_shape"] for s in samples]
+    if "metadata" in samples[0]:  # nuScenes token / Waymo context, used by eval writers
+        batch["metadata"] = [s["metadata"] for s in samples]
     batch["points"] = np.stack([s["points"] for s in samples]).astype(np.float32)
     # camera-model extras (CaDDN): stacked when the dataset provides them
     for key in ("images", "depth_maps", "trans_lidar_to_cam", "trans_cam_to_img"):
@@ -72,6 +74,13 @@ def collate_batch(samples: list[dict], max_gt: int = MAX_GT_DEFAULT) -> dict:
         gt = np.zeros((len(samples), max_gt, width), np.float32)
         for i, s in enumerate(samples):
             n = min(len(s["gt_boxes"]), max_gt)
+            if len(s["gt_boxes"]) > max_gt:
+                import warnings
+
+                warnings.warn(
+                    f"collate_batch: frame has {len(s['gt_boxes'])} gt boxes, "
+                    f"truncating to max_gt={max_gt} — raise --max_gt to keep "
+                    f"all labels (extra boxes are silently unsupervised)")
             gt[i, :n] = s["gt_boxes"][:n]
         batch["gt_boxes"] = gt
     batch["batch_size"] = len(samples)
@@ -145,16 +154,18 @@ class DataLoader:
     def _get_pool(self):
         """Lazily create ONE persistent worker pool, reused across epochs.
 
-        Context preference: forkserver — its server process is fork+exec'd
-        clean, so workers never inherit live JAX/libtpu threads or held
-        allocator mutexes (forking after backend init is the documented
-        deadlock hazard); plain fork is the fallback. Re-creating the pool
-        every epoch would re-fork while the previous epoch's async device
-        work is still live."""
+        Context preference: fork — workers inherit the dataset by COW page
+        sharing (no per-worker pickle of infos/gt-db, the design the module
+        docstring promises; torch DataLoader makes the same Linux default).
+        Children run pure numpy and never touch the JAX backend, so the
+        fork-after-backend-init hazard is limited to held allocator mutexes —
+        the same exposure the reference's torch workers accept. forkserver is
+        the fallback for platforms without fork; it pickles initargs
+        (slower startup, duplicated RAM for big datasets)."""
         if getattr(self, "_pool", None) is not None:
             return self._pool
         methods = mp.get_all_start_methods()
-        method = "forkserver" if "forkserver" in methods else "fork"
+        method = "fork" if "fork" in methods else "forkserver"
         ctx = mp.get_context(method)
         self._pool = ctx.Pool(self.num_workers, initializer=_worker_init,
                               initargs=(self.dataset, self.max_gt))
@@ -188,7 +199,11 @@ class DataLoader:
         try:
             pool = self._get_pool()
         except Exception as e:  # pool setup failed → inline fallback
-            print(f"loader: worker pool unavailable ({e!r}); running inline")
+            import warnings
+
+            warnings.warn(
+                f"loader: worker pool unavailable ({e!r}); running inline — "
+                f"ALL prefetch parallelism is lost")
             self.close()
             for bi, idx in enumerate(self._batch_indices()):
                 yield self._build(idx, bi)
@@ -246,18 +261,20 @@ def build_dataloader(dataset_cfg, class_names, batch_size, root_path=None, train
     if merge_all_iters_to_one_epoch:
         dataset.merge_all_iters_to_one_epoch(True, total_epochs)
     process_shard = None
-    try:
+    try:  # only guard the jax import/backend probe — NOT the divisibility check
         import jax
 
-        if jax.process_count() > 1:
-            process_shard = (jax.process_index(), jax.process_count())
-            assert batch_size % jax.process_count() == 0, (
-                f"global batch_size {batch_size} must divide evenly across "
-                f"{jax.process_count()} processes — a silent floor would "
-                f"change the effective batch/LR schedule")
-            batch_size = batch_size // jax.process_count()
+        nproc = jax.process_count()
+        pid = jax.process_index()
     except Exception:
-        pass
+        nproc, pid = 1, 0
+    if nproc > 1:
+        process_shard = (pid, nproc)
+        assert batch_size % nproc == 0, (
+            f"global batch_size {batch_size} must divide evenly across "
+            f"{nproc} processes — a silent floor would "
+            f"change the effective batch/LR schedule")
+        batch_size = batch_size // nproc
     loader = DataLoader(dataset, batch_size, shuffle=training, max_gt=max_gt,
                         drop_last=training, seed=seed, num_workers=num_workers,
                         process_shard=process_shard)

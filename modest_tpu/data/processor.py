@@ -40,6 +40,13 @@ def sample_points(data_dict, num_points: int):
     if num_points == -1:
         return data_dict
     points = data_dict["points"]
+    if len(points) == 0:
+        # the reference crashes in np.random.choice here; without this guard
+        # the wrap-around loop below would spin forever on an empty cloud
+        raise ValueError(
+            f"sample_points: empty point cloud for frame "
+            f"{data_dict.get('frame_id')!r} — all points were filtered out "
+            f"before sampling {num_points}")
     if num_points < len(points):
         # squared-depth compare (norm's sqrt is a full extra pass at 90k pts)
         d2 = (points[:, 0:3] ** 2).sum(axis=1)

@@ -307,16 +307,24 @@ def _dbscan_prep(xyz, pp, n_pad: int, radius: float, row_chunk: int):
     return order, x, p, valid, need
 
 
-def _dbscan_post(raw_sorted: np.ndarray, order: np.ndarray, n: int) -> np.ndarray:
+def _dbscan_post(raw_sorted: np.ndarray, order: np.ndarray, n: int,
+                 core_sorted: np.ndarray | None = None) -> np.ndarray:
     """Raw labels (min-core indices in SORTED order) → original positions,
-    compacted by first occurrence in ORIGINAL index order — sklearn assigns
-    cluster ids by the first core point it expands."""
+    compacted by each cluster's first CORE point in ORIGINAL index order —
+    sklearn assigns ids as its scan hits each cluster's first unclaimed core
+    point (a border point earlier in the scan does not set the id)."""
     raw = np.full(n, -1, np.int64)
     raw[order] = raw_sorted
     mask = raw >= 0
     out = np.full(n, -1, np.int64)
     if mask.any():
-        vals, first_pos = np.unique(raw[mask], return_index=True)
+        if core_sorted is not None:
+            core = np.zeros(n, bool)
+            core[order] = np.asarray(core_sorted, bool)[:n]
+            rank_mask = mask & core
+        else:
+            rank_mask = mask
+        vals, first_pos = np.unique(raw[rank_mask], return_index=True)
         rank = np.empty(len(vals), np.int64)
         rank[np.argsort(first_pos, kind="stable")] = np.arange(len(vals))
         out[mask] = rank[np.searchsorted(vals, raw[mask])]
@@ -348,12 +356,12 @@ def dbscan_pp(xyz: np.ndarray, pp: np.ndarray, *, n_neighbors: int = 70,
     else:
         idx, d2 = _knn_windowed(jnp.asarray(x), jnp.asarray(valid), k,
                                 row_chunk, w, float(radius))
-    raw, _core = _cluster_from_knn(
+    raw, core = _cluster_from_knn(
         idx, d2, jnp.asarray(p), jnp.asarray(valid),
         np.float32(radius * radius), np.float32(eps), min_samples,
     )
     raw_sorted = np.asarray(raw[:n]).astype(np.int64)
-    return _dbscan_post(raw_sorted, order, n)
+    return _dbscan_post(raw_sorted, order, n, np.asarray(core[:n]))
 
 
 def dbscan_pp_many(frames, *, n_neighbors: int = 70, radius: float = 2.0,
@@ -389,9 +397,11 @@ def dbscan_pp_many(frames, *, n_neighbors: int = 70, radius: float = 2.0,
         idx, d2 = _knn_batch(xb, vb, k, row_chunk)
     else:
         idx, d2 = _knn_windowed_batch(xb, vb, k, row_chunk, w, float(radius))
-    raw, _core = _cluster_from_knn_batch(
+    raw, core = _cluster_from_knn_batch(
         idx, d2, pb, vb, np.float32(radius * radius), np.float32(eps),
         min_samples,
     )
     raw = np.asarray(raw).astype(np.int64)
-    return [_dbscan_post(raw[i, :ns[i]], preps[i][0], ns[i]) for i in range(b)]
+    core = np.asarray(core)
+    return [_dbscan_post(raw[i, :ns[i]], preps[i][0], ns[i], core[i, :ns[i]])
+            for i in range(b)]

@@ -16,6 +16,7 @@ rounding); boundary flips at sub-mm scale do not move the entropy.
 """
 from __future__ import annotations
 
+import collections
 import functools
 
 import jax
@@ -267,25 +268,42 @@ def _radius_count_frame_pool(query, qmask, frames, fmask, rot, trans, trav_oneho
 
 
 class DeviceFrameCache:
-    """Keeps raw velodyne frames resident on device, padded to one bucket."""
+    """Keeps raw velodyne frames resident on device, padded to one bucket.
 
-    def __init__(self, load_fn, m_pad: int | None = None, chunk: int = 8192):
+    Bounded LRU: consecutive origin frames share most neighbors, so the
+    working set is the sliding window (~tens of frames per traversal set);
+    `max_frames` caps HBM at max_frames × m_pad × 13 B (512 × 131072 pts
+    ≈ 870 MB) and evicted buffers are deleted eagerly so a multi-thousand-
+    frame sweep runs in bounded device memory."""
+
+    def __init__(self, load_fn, m_pad: int | None = None, chunk: int = 8192,
+                 max_frames: int = 512):
         self.load_fn = load_fn
         self.m_pad = m_pad
         self.chunk = chunk
-        self._frames: dict[int, tuple] = {}
+        self.max_frames = max_frames
+        self._frames: "collections.OrderedDict[int, tuple]" = collections.OrderedDict()
 
     def frame(self, gid: int):
-        if gid not in self._frames:
-            pts = np.asarray(self.load_fn(gid), np.float32)[:, :3]
-            if self.m_pad is None:
-                self.m_pad = max(self.chunk, 1 << (pts.shape[0] - 1).bit_length())
-            assert pts.shape[0] <= self.m_pad, (pts.shape, self.m_pad)
-            buf = np.zeros((self.m_pad, 3), np.float32)
-            buf[: pts.shape[0]] = pts
-            mask = np.zeros(self.m_pad, bool)
-            mask[: pts.shape[0]] = True
-            self._frames[gid] = (jax.device_put(buf), jax.device_put(mask))
+        if gid in self._frames:
+            self._frames.move_to_end(gid)
+            return self._frames[gid]
+        pts = np.asarray(self.load_fn(gid), np.float32)[:, :3]
+        if self.m_pad is None:
+            self.m_pad = max(self.chunk, 1 << (pts.shape[0] - 1).bit_length())
+        assert pts.shape[0] <= self.m_pad, (pts.shape, self.m_pad)
+        buf = np.zeros((self.m_pad, 3), np.float32)
+        buf[: pts.shape[0]] = pts
+        mask = np.zeros(self.m_pad, bool)
+        mask[: pts.shape[0]] = True
+        while len(self._frames) >= self.max_frames:
+            _, (old_buf, old_mask) = self._frames.popitem(last=False)
+            for a in (old_buf, old_mask):
+                try:
+                    a.delete()
+                except Exception:
+                    pass
+        self._frames[gid] = (jax.device_put(buf), jax.device_put(mask))
         return self._frames[gid]
 
 
