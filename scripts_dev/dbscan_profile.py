@@ -31,27 +31,13 @@ ppm = pp[mask]
 n = len(xyz)
 print(f"n={n}")
 
-# replicate dbscan_pp's prep
+# use the library's real prep (spread pads, quarter-pow2 bucket)
 radius, eps, min_samples, k_req, row_chunk = 2.0, 0.1, 10, 70, 1024
-order = np.argsort(xyz[:, 0], kind="stable")
-xyz_s = xyz[order]
-pp_s = ppm[order]
-n_pad = max(row_chunk, 1 << (n - 1).bit_length())
-x = np.zeros((n_pad, 3), np.float32)
-x[:n] = xyz_s
-x[n:] = 1e6
-p = np.zeros(n_pad, np.float32)
-p[:n] = pp_s
-valid = np.zeros(n_pad, bool)
-valid[:n] = True
+n_pad = C._bucket(n, row_chunk)
+order, x, p, valid, need = C._dbscan_prep(xyz, ppm, n_pad, radius, row_chunk)
 k = min(k_req, max(n - 1, 1))
-xs = x[:, 0]
-c_min = xs[0:n_pad:row_chunk]
-c_max = xs[row_chunk - 1: n_pad: row_chunk]
-need = int(np.max(np.searchsorted(xs, c_max + radius, side="right")
-                  - np.searchsorted(xs, c_min - radius, side="left")))
-w = max(1 << (max(need, k + 1, 512) - 1).bit_length(), row_chunk)
-print(f"n_pad={n_pad} w={w} k={k}")
+w = C._window_width(need, k, row_chunk)
+print(f"n_pad={n_pad} need={need} w={w} k={k}")
 
 xj = jnp.asarray(x)
 vj = jnp.asarray(valid)
