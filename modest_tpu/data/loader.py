@@ -88,13 +88,21 @@ def collate_batch(samples: list[dict], max_gt: int = MAX_GT_DEFAULT) -> dict:
 
 
 class DataLoader:
-    """Epoch loader with deterministic shuffling and optional threaded
-    batch prefetch (`num_workers` builder threads, up to
-    `num_workers * prefetch_factor` batches in flight, yielded in order)."""
+    """Epoch loader with deterministic shuffling and optional batch
+    prefetch by forked worker PROCESSES (`num_workers` workers, up to
+    `num_workers * prefetch_factor` batches in flight, yielded in order;
+    see the module docstring for why processes, not threads).
+
+    `use_procs`: None (default) auto-selects — workers requested AND >1
+    host core (a single core can't overlap builders with the dispatch
+    thread, so inline is strictly faster there); True/False forces the
+    fork-pool / inline path regardless (tests pin True to exercise the
+    pool on 1-core hosts; batches are bit-identical either way)."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool, max_gt: int = MAX_GT_DEFAULT,
                  drop_last: bool = True, seed: int = 0, num_workers: int = 0,
-                 prefetch_factor: int = 2, process_shard: tuple | None = None):
+                 prefetch_factor: int = 2, process_shard: tuple | None = None,
+                 use_procs: bool | None = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -108,6 +116,7 @@ class DataLoader:
         # order (shared seed) then keeps its interleaved slice — the
         # DistributedSampler contract; batch_size is the per-process batch
         self.process_shard = process_shard
+        self.use_procs = use_procs
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -185,10 +194,12 @@ class DataLoader:
             pass
 
     def __iter__(self):
-        # a single-core host (this dev box has nproc=1) can't overlap
-        # builders with anything — run inline rather than pay IPC overhead
-        use_procs = (self.num_workers > 0
-                     and (mp.cpu_count() or 1) > 1)
+        use_procs = self.use_procs
+        if use_procs is None:
+            # a single-core host (this dev box has nproc=1) can't overlap
+            # builders with anything — run inline rather than pay IPC overhead
+            use_procs = (mp.cpu_count() or 1) > 1
+        use_procs = use_procs and self.num_workers > 0
         if not use_procs:
             for bi, idx in enumerate(self._batch_indices()):
                 yield self._build(idx, bi)

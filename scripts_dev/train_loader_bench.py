@@ -2,10 +2,14 @@
 
 Builds a realistic-density synthetic KITTI set (~60k pts/frame, Lyft-like),
 then times the flagship train step fed by the real DataLoader +
-prefetch_to_device, for num_workers=0 (synchronous) and 4 (threaded
-prefetch). The gap to the device-only number (train_step_bench.py) is the
-host-input overhead the reference hides behind torch DataLoader workers
+prefetch_to_device, for num_workers=0 (synchronous) and 4 (fork-pool
+worker-process prefetch). The gap to the device-only number
+(train_step_bench.py) is the host-input overhead the reference hides
+behind torch DataLoader workers
 (downstream/OpenPCDet/pcdet/datasets/__init__.py build_dataloader).
+
+--force-procs pins loader.use_procs=True so the fork-pool path is
+measured even on a 1-core host (where the auto heuristic runs inline).
 
 Usage: python scripts_dev/train_loader_bench.py [--frames 48] [--batch 4]
 """
@@ -30,6 +34,7 @@ parser.add_argument("--frames", type=int, default=48)
 parser.add_argument("--batch", type=int, default=4)
 parser.add_argument("--epochs", type=int, default=3)
 parser.add_argument("--workers", type=int, nargs="*", default=[0, 4])
+parser.add_argument("--force-procs", action="store_true")
 args = parser.parse_args()
 
 import optax
@@ -61,6 +66,8 @@ for workers in args.workers:
     dataset, loader = build_dataloader(
         cfg.DATA_CONFIG, cfg.CLASS_NAMES, args.batch, root_path=root,
         training=True, num_workers=workers)
+    if args.force_procs and workers > 0:
+        loader.use_procs = True
     n_steps = 0
     key = jax.random.PRNGKey(0)
     t0 = None

@@ -1,4 +1,13 @@
-"""Dev: time the full train step (fwd+bwd+adam) on the real chip."""
+"""Dev: time the full train step (fwd+bwd+adam) on the real chip.
+
+Prints the wall time plus BOTH roofline axes from XLA's own cost model:
+achieved TFLOP/s vs the v5e bf16 peak (MFU) and achieved GB/s vs the v5e
+HBM peak — the model is gather/HBM-bound, so the bandwidth line is the
+one that says how far from speed-of-light the step actually is.
+
+Usage: python scripts_dev/train_step_bench.py [batch]
+"""
+import sys
 import time
 
 import jax
@@ -14,7 +23,7 @@ from modest_tpu.train.optim import build_optimizer
 from modest_tpu.train.state import TrainState, create_train_state, make_train_step
 from modest_tpu.utils.config import cfg_from_yaml_file
 
-BATCH = 4
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 4
 cfg = cfg_from_yaml_file("configs/models/lyft_models/pointrcnn_dynamic_obj.yaml")
 model = PointRCNN(model_cfg=cfg.MODEL, num_class=len(cfg.CLASS_NAMES))
 
@@ -68,5 +77,13 @@ try:
     print(f"step flops (XLA cost model): {flops/1e9:.1f} GF -> "
           f"{flops/dt/1e12:.2f} TFLOP/s achieved, "
           f"MFU {100*flops/dt/PEAK_BF16:.1f}% of v5e bf16 peak", flush=True)
+    gbytes = float(cost.get("bytes accessed", 0.0))
+    PEAK_HBM = 819e9  # v5e HBM bandwidth
+    if gbytes:
+        print(f"step bytes accessed (XLA cost model): {gbytes/1e9:.2f} GB -> "
+              f"{gbytes/dt/1e9:.1f} GB/s achieved, "
+              f"{100*gbytes/dt/PEAK_HBM:.1f}% of v5e HBM peak "
+              f"(counts operand+output bytes per op — an upper bound on HBM "
+              f"traffic since fused intermediates stay on-chip)", flush=True)
 except Exception as e:  # cost_analysis unsupported on some backends
     print(f"cost_analysis unavailable: {e}", flush=True)

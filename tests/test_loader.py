@@ -1,4 +1,11 @@
-"""Threaded prefetch loader: ordering, wrap padding, device prefetch."""
+"""Process-pool prefetch loader: ordering, determinism vs inline, pool
+lifecycle (reuse across epochs, clean close), wrap padding, device prefetch.
+
+The pool path is forced with `use_procs=True` — this host has one core, so
+the auto heuristic would otherwise route every test through the inline
+path and leave the fork-pool code (the production configuration on real
+TPU-VM hosts) unexercised.
+"""
 import numpy as np
 
 from modest_tpu.data.loader import DataLoader, prefetch_to_device
@@ -21,46 +28,108 @@ class _StubDataset:
         }
 
 
+class _AugDataset(_StubDataset):
+    """Adds np.random noise — exercises the per-batch seed plumbing that
+    makes output bit-identical for ANY worker count."""
+
+    def __getitem__(self, i):
+        s = super().__getitem__(i)
+        s["points"] = s["points"] + np.random.rand(16, 4).astype(np.float32)
+        return s
+
+
 def _batches(loader):
     return [(tuple(b["frame_id"]), b["points"].copy()) for b in loader]
 
 
-def test_threaded_loader_matches_sync_order():
+def test_process_loader_matches_inline_order():
     ds = _StubDataset(13)
     sync = DataLoader(ds, 3, shuffle=True, seed=7, num_workers=0)
-    thr = DataLoader(ds, 3, shuffle=True, seed=7, num_workers=3)
+    proc = DataLoader(ds, 3, shuffle=True, seed=7, num_workers=3,
+                      use_procs=True)
     sync.set_epoch(2)
-    thr.set_epoch(2)
-    a, b = _batches(sync), _batches(thr)
+    proc.set_epoch(2)
+    a, b = _batches(sync), _batches(proc)
+    proc.close()
     assert len(a) == len(b) == len(sync) == 4  # drop_last
     for (fa, pa), (fb, pb) in zip(a, b):
         assert fa == fb
         np.testing.assert_array_equal(pa, pb)
 
 
-def test_threaded_loader_wrap_padding():
+def test_process_loader_bit_identical_under_augmentation():
+    """Augmentation RNG is seeded per (loader seed, epoch, batch): the fork
+    pool must reproduce the inline stream bit-for-bit."""
+    ds = _AugDataset(12)
+    sync = DataLoader(ds, 4, shuffle=True, seed=11, num_workers=0)
+    proc = DataLoader(ds, 4, shuffle=True, seed=11, num_workers=2,
+                      use_procs=True)
+    for epoch in (0, 1):
+        sync.set_epoch(epoch)
+        proc.set_epoch(epoch)
+        for (fa, pa), (fb, pb) in zip(_batches(sync), _batches(proc)):
+            assert fa == fb
+            np.testing.assert_array_equal(pa, pb)
+    proc.close()
+
+
+def test_process_pool_reused_across_epochs_and_closes():
+    ds = _StubDataset(8)
+    loader = DataLoader(ds, 2, shuffle=False, num_workers=2, use_procs=True)
+    assert len(_batches(loader)) == 4
+    pool_first = loader._pool
+    assert pool_first is not None
+    loader.set_epoch(1)
+    assert len(_batches(loader)) == 4
+    assert loader._pool is pool_first  # ONE persistent pool, not per-epoch
+    loader.close()
+    assert loader._pool is None
+    # iteration after close() transparently re-creates the pool
+    assert len(_batches(loader)) == 4
+    loader.close()
+
+
+def test_process_loader_wrap_padding():
     ds = _StubDataset(5)
-    loader = DataLoader(ds, 4, shuffle=False, drop_last=False, num_workers=2)
+    loader = DataLoader(ds, 4, shuffle=False, drop_last=False, num_workers=2,
+                        use_procs=True)
     batches = _batches(loader)
+    loader.close()
     assert len(batches) == 2
     # tail batch wraps to the head to keep static shapes
     assert batches[1][0] == ("000004", "000000", "000001", "000002")
 
 
-def test_threaded_loader_early_break_reusable():
+def test_process_loader_early_break_reusable():
     ds = _StubDataset(12)
-    loader = DataLoader(ds, 2, shuffle=False, num_workers=2)
+    loader = DataLoader(ds, 2, shuffle=False, num_workers=2, use_procs=True)
     for i, b in enumerate(loader):
         if i == 1:
             break
     # iterating again after an early break yields the full epoch
     assert len(_batches(loader)) == 6
+    loader.close()
+
+
+def test_single_core_auto_heuristic_runs_inline():
+    """With use_procs unset on a 1-core host the loader must not fork."""
+    import multiprocessing as mp
+
+    if (mp.cpu_count() or 1) > 1:
+        import pytest
+
+        pytest.skip("multi-core host: auto heuristic legitimately forks")
+    ds = _StubDataset(6)
+    loader = DataLoader(ds, 2, shuffle=False, num_workers=4)
+    assert len(_batches(loader)) == 3
+    assert getattr(loader, "_pool", None) is None
 
 
 def test_prefetch_to_device_passthrough():
     ds = _StubDataset(8)
-    loader = DataLoader(ds, 2, shuffle=False, num_workers=2)
+    loader = DataLoader(ds, 2, shuffle=False, num_workers=2, use_procs=True)
     seen = [b["frame_id"] for b in prefetch_to_device(loader, None, size=2)]
+    loader.close()
     assert seen == [[f"{2*i:06d}", f"{2*i+1:06d}"] for i in range(4)]
 
 
