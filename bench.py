@@ -10,12 +10,17 @@ PointRCNN inference figure commonly reported for OpenPCDet-class pipelines
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
 BASELINE_SCANS_PER_SEC = 12.5
-BATCH = 4
+# driver runs `python bench.py` (B=4, the historical headline operating
+# point); `python bench.py 8` or MODEST_BENCH_BATCH sweep other batches
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else int(
+    os.environ.get("MODEST_BENCH_BATCH", "4"))
 WARMUP = 2
 ITERS = 10
 
