@@ -29,10 +29,13 @@ class SAModuleMSG(nn.Module):
         (new_xyz (B, npoint, 3), new_features (B, npoint, sum(mlp[-1])))."""
         fps_idx = p2.furthest_point_sample(xyz, self.npoint)
         new_xyz = p2.gather_points(xyz, fps_idx)
-        d2 = p2.pairwise_dist2(new_xyz, xyz)  # shared across scales
-        if not p2.exact_ops():
-            # one nearest-k shared by every scale; each radius slices its prefix
-            top_d2, top_idx = p2.nearest_topk(d2, max(self.nsamples))
+        if p2.exact_ops():
+            d2 = p2.pairwise_dist2(new_xyz, xyz)  # shared across scales
+        else:
+            # one nearest-k shared by every scale (each radius slices its
+            # prefix); the level's max radius bounds the candidate windows
+            top_d2, top_idx = p2.nearest_neighbors(
+                new_xyz, xyz, max(self.nsamples), radius=max(self.radii))
 
         outs = []
         for radius, nsample, mlp in zip(self.radii, self.nsamples, self.mlps):
@@ -64,12 +67,13 @@ class SAModule(nn.Module):
         else:
             fps_idx = p2.furthest_point_sample(xyz, self.npoint)
             new_xyz = p2.gather_points(xyz, fps_idx)
-            d2 = p2.pairwise_dist2(new_xyz, xyz)
             if p2.exact_ops():
+                d2 = p2.pairwise_dist2(new_xyz, xyz)
                 grouped = p2.query_and_group(xyz, new_xyz, features, d2,
                                              self.radius, self.nsample)
             else:
-                top_d2, top_idx = p2.nearest_topk(d2, self.nsample)
+                top_d2, top_idx = p2.nearest_neighbors(
+                    new_xyz, xyz, self.nsample, radius=self.radius)
                 grouped = p2.nearest_group(xyz, new_xyz, features, top_d2,
                                            top_idx, self.radius, self.nsample)
         feat = SharedMLP(tuple(self.mlp))(grouped, train=train)

@@ -344,6 +344,106 @@ def nearest_topk(d2, k: int):
     return -neg, idx
 
 
+_WCHUNK = 128  # sorted centers per shared candidate window
+
+
+def _window_width(n: int) -> int:
+    return 2048 if n > 8192 else 1024
+
+
+def windowed_supports(m: int, n: int) -> bool:
+    """Windowed-kNN applicability: enough centers for full sorted chunks and
+    a cloud large enough that the dense (B, M, N) candidate matrix is the
+    wall (small levels are dispatch-noise either way)."""
+    return m % _WCHUNK == 0 and m >= 1024 and n >= 4 * _window_width(n)
+
+
+def _windowed_nearest(new_xyz, xyz, k: int, radius: float):
+    """k-nearest via x-sorted candidate windows: (B, M, 3), (B, N, 3) →
+    (top_d2 (B, M, k) ascending, top_idx int32, in ORIGINAL center order).
+
+    The grouping consumers only keep neighbors within ``radius``
+    (nearest_group masks td2 < r²), so candidates further than ``radius``
+    in x alone can never be selected. Sorting the cloud by x and giving
+    each chunk of 128 x-sorted centers one shared W-wide window starting
+    at the first point ≥ (chunk min x − radius) makes the candidate set an
+    exact superset of every in-radius neighbor — unless the chunk's x-span
+    plus 2·radius holds more than W sorted points (dense near-field), where
+    the tail is dropped: the same miss class as approx_max_k's 0.95 recall
+    target, bounded end-to-end by scripts_dev/exact_ab_check.py. Cuts both
+    the distance compute and the top-k width by N/W (6× at SA1, 4× at SA2)
+    vs the dense matrix the reference's ball query scans in full
+    (pcdet/ops/pointnet2/pointnet2_batch/src/ball_query_gpu.cu).
+    """
+    b, n = xyz.shape[0], xyz.shape[1]
+    m = new_xyz.shape[1]
+    w = _window_width(n)
+    nchunk = m // _WCHUNK
+
+    perm = jnp.argsort(xyz[..., 0], axis=-1).astype(jnp.int32)  # (B, N)
+    sxyz = jnp.take_along_axis(xyz, perm[..., None], axis=1)
+    sx = sxyz[..., 0]
+
+    cx = new_xyz[..., 0]
+    cperm = jnp.argsort(cx, axis=-1).astype(jnp.int32)  # (B, M)
+    sc_xyz = jnp.take_along_axis(new_xyz, cperm[..., None], axis=1)
+
+    # center each chunk's window on its NEEDED sorted-rank span
+    # [first point ≥ chunk min x − r, first point > chunk max x + r]: full
+    # coverage whenever that span fits in W, symmetric truncation otherwise
+    scx = sc_xyz[..., 0].reshape(b, nchunk, _WCHUNK)
+    pos_lo = jax.vmap(jnp.searchsorted)(sx, scx[:, :, 0] - radius)
+    pos_hi = jax.vmap(jnp.searchsorted)(sx, scx[:, :, -1] + radius)
+    start = jnp.clip((pos_lo + pos_hi - w) // 2, 0, n - w).astype(jnp.int32)
+
+    cand = start[..., None] + jnp.arange(w, dtype=jnp.int32)  # (B, nchunk, W)
+    cand_xyz = jnp.take_along_axis(
+        sxyz, cand.reshape(b, nchunk * w)[..., None], axis=1,
+    ).reshape(b, nchunk, w, 3)
+
+    # matmul form on the MXU — the broadcast diff form puts the xyz axis
+    # (size 3) on lanes (3/128 utilization) and measured 2× slower than
+    # even the DENSE matmul d2 (scripts_dev/windowed_knn_probe.py)
+    q = sc_xyz.reshape(b, nchunk, _WCHUNK, 3)
+    q2 = jnp.sum(q * q, axis=-1)
+    c2 = jnp.sum(cand_xyz * cand_xyz, axis=-1)
+    cross = jnp.einsum("bcqd,bckd->bcqk", q, cand_xyz)
+    d2 = q2[..., None] + c2[:, :, None, :] - 2.0 * cross  # (B, nc, CHUNK, W)
+    neg, widx = _fast_top_k(-d2, k)
+
+    # window-local → sorted-cloud → original point index
+    sidx = widx.astype(jnp.int32) + start[:, :, None, None]
+    gidx = jnp.take_along_axis(
+        perm, sidx.reshape(b, m * k), axis=1).reshape(b, m, k)
+    td2 = (-neg).reshape(b, m, k)
+
+    # back to the caller's center order
+    inv = jnp.argsort(cperm, axis=-1)
+    td2 = jnp.take_along_axis(td2, inv[..., None], axis=1)
+    gidx = jnp.take_along_axis(gidx, inv[..., None], axis=1)
+    return td2, gidx
+
+
+def nearest_neighbors(new_xyz, xyz, k: int, radius: float | None = None):
+    """Fused candidate generation + k-nearest: (B, M, 3), (B, N, 3) →
+    (top_d2 (B, M, k) f32 ascending, top_idx int32).
+
+    With a ``radius`` bound (SA grouping: only in-radius neighbors are ever
+    kept) the TPU path prunes candidates to x-sorted windows before the
+    top-k — see _windowed_nearest. Without one (or on CPU / exact mode /
+    small levels) it falls back to the dense distance matrix. A Pallas
+    bf16 d2 kernel was tried here and measured a wash: XLA already fuses
+    the diff-form d2 into approx_max_k's input, so the (B, M, N) matrix
+    never round-trips HBM — the cost is generating candidates, which only
+    pruning (not precision) reduces (BENCH.md round-3 note).
+    """
+    m, n = new_xyz.shape[1], xyz.shape[1]
+    if not (jax.default_backend() == "cpu" or _EXACT_OPS or k >= n):
+        if radius is not None and windowed_supports(m, n):
+            return _windowed_nearest(new_xyz, xyz, k, radius)
+    return nearest_topk(pairwise_dist2(new_xyz, xyz), k)
+
+
 def nearest_group(xyz, new_xyz, features, top_d2, top_idx, radius: float,
                   nsample: int, use_xyz: bool = True):
     """Group the ``nsample`` NEAREST in-radius points around each center.
