@@ -19,10 +19,65 @@ import numpy as np
 BASELINE_SCANS_PER_SEC = 12.5
 # driver runs `python bench.py` (B=4, the historical headline operating
 # point); `python bench.py 8` or MODEST_BENCH_BATCH sweep other batches
-BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else int(
-    os.environ.get("MODEST_BENCH_BATCH", "4"))
+BATCH = 4
 WARMUP = 2
 ITERS = 10
+
+
+def _quality_gate(infer_fn, variables, inputs, threshold: float = 0.95):
+    """On-chip exact-vs-approx detection gate (VERDICT r3 item 5).
+
+    Runs 2 batches through the default TPU path and through
+    MODEST_EXACT_OPS reference semantics, greedily matches post-NMS boxes
+    at BEV IoU 0.7, and FAILS LOUDLY (nonzero exit, no metric line) if the
+    match fraction drops below ``threshold`` — so a perf change that
+    silently alters detections (e.g. the round-3 bf16-coordinate
+    cancellation bug) can never produce a green BENCH_r*.json again.
+    """
+    import jax.numpy as jnp
+
+    from modest_tpu.ops import pointnet2 as p2
+    from modest_tpu.ops.iou3d import boxes_iou_bev
+
+    def run(batch_inputs):
+        out = []
+        for pts in batch_inputs:
+            boxes, scores, valid = infer_fn(variables, pts)
+            out.append((np.asarray(boxes), np.asarray(scores), np.asarray(valid)))
+        return out
+
+    gate_inputs = inputs[:2]
+    approx = run(gate_inputs)
+    p2.set_exact_ops(True)
+    try:
+        exact = run(gate_inputs)
+    finally:
+        p2.set_exact_ops(False)
+
+    tot_e = tot_match = 0
+    for (ab, asc, av), (eb, esc, ev) in zip(approx, exact):
+        for i in range(ab.shape[0]):
+            A, E = ab[i][av[i]], eb[i][ev[i]]
+            se = esc[i][ev[i]]
+            tot_e += len(E)
+            if len(A) == 0 or len(E) == 0:
+                continue
+            iou = np.asarray(boxes_iou_bev(jnp.asarray(E[:, :7]), jnp.asarray(A[:, :7])))
+            used = np.zeros(len(A), bool)
+            for j in np.argsort(-se):
+                k = int(np.argmax(np.where(used, -1.0, iou[j])))
+                if iou[j, k] >= 0.7 and not used[k]:
+                    used[k] = True
+                    tot_match += 1
+    frac = tot_match / max(tot_e, 1)
+    print(f"quality gate: exact boxes={tot_e} matched@IoU0.7={tot_match} "
+          f"({100 * frac:.1f}%)", file=sys.stderr)
+    if frac < threshold:
+        print(f"QUALITY GATE FAILED: approx path matches only {100 * frac:.1f}% "
+              f"of exact detections (threshold {100 * threshold:.0f}%) — the "
+              "fast path is numerically broken; see BENCH.md round-3 "
+              "cautionary note.", file=sys.stderr)
+        sys.exit(1)
 
 
 def main():
@@ -102,6 +157,9 @@ def main():
         dt = timed_run()  # one retry on transient relay errors
     scans_per_sec = BATCH * ITERS / dt
 
+    if os.environ.get("MODEST_BENCH_NO_GATE", "0") in ("0", "", "false"):
+        _quality_gate(infer, variables, inputs)
+
     print(json.dumps({
         "metric": "pointrcnn_inference_scans_per_sec_per_chip",
         "value": round(scans_per_sec, 3),
@@ -111,4 +169,11 @@ def main():
 
 
 if __name__ == "__main__":
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("batch", nargs="?", type=int,
+                        default=int(os.environ.get("MODEST_BENCH_BATCH", "4")),
+                        help="batch size per inference step (default 4)")
+    BATCH = parser.parse_args().batch
     main()

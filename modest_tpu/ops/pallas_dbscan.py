@@ -229,6 +229,11 @@ def _dbscan_device(ppb, validb, lob, idxb, d2b, *, n_pad, w,
     """
     b, n, k = idxb.shape
     assert n == n_pad and n % 1024 == 0 and k <= SLOTS
+    # i16 local indices: window entries must stay below ISENT (0x7FFF) —
+    # at w == 32768 a real local index collides with the sentinel and
+    # larger values wrap negative, silently corrupting the edge graph.
+    # Callers (_labels_via_pallas) fall back to the XLA path instead.
+    assert w < 32768, f"window {w} overflows i16 local indices"
     cpf = n // 1024
     n2r = n // 128
     w128 = w // 128

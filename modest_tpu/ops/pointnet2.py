@@ -351,11 +351,22 @@ def _window_width(n: int) -> int:
     return 2048 if n > 8192 else 1024
 
 
+_WINDOWED_KNN = os.environ.get("MODEST_WINDOWED_KNN", "0").lower() not in (
+    "0", "", "false")
+
+
 def windowed_supports(m: int, n: int) -> bool:
     """Windowed-kNN applicability: enough centers for full sorted chunks and
     a cloud large enough that the dense (B, M, N) candidate matrix is the
-    wall (small levels are dispatch-noise either way)."""
-    return m % _WCHUNK == 0 and m >= 1024 and n >= 4 * _window_width(n)
+    wall (small levels are dispatch-noise either way).
+
+    OFF by default (MODEST_WINDOWED_KNN=1 opts in): with the numerics fixed
+    (f32-HIGHEST cross term + exact winner-distance recompute) the windowed
+    path measures exact-equivalent quality (98.3% box match,
+    scripts_dev/exact_ab_check.py) but the sort/gather scaffolding around
+    the pruned matmul costs more than the pruning saves end-to-end
+    (BENCH.md round 4) — the dense d² + approx top-k path stays the default."""
+    return _WINDOWED_KNN and m % _WCHUNK == 0 and m >= 1024 and n >= 4 * _window_width(n)
 
 
 def _windowed_nearest(new_xyz, xyz, k: int, radius: float):
@@ -403,19 +414,32 @@ def _windowed_nearest(new_xyz, xyz, k: int, radius: float):
 
     # matmul form on the MXU — the broadcast diff form puts the xyz axis
     # (size 3) on lanes (3/128 utilization) and measured 2× slower than
-    # even the DENSE matmul d2 (scripts_dev/windowed_knn_probe.py)
+    # even the DENSE matmul d2 (scripts_dev/windowed_knn_probe.py).
+    # precision=HIGHEST is load-bearing: raw ~70 m coordinates through a
+    # default-precision (bf16-pass) MXU give meter-scale a²+b²−2ab
+    # cancellation error, which silently destroys the neighbor ranking
+    # (round-3 regression: 2.5% exact-vs-approx box match on chip).
     q = sc_xyz.reshape(b, nchunk, _WCHUNK, 3)
     q2 = jnp.sum(q * q, axis=-1)
     c2 = jnp.sum(cand_xyz * cand_xyz, axis=-1)
-    cross = jnp.einsum("bcqd,bckd->bcqk", q, cand_xyz)
-    d2 = q2[..., None] + c2[:, :, None, :] - 2.0 * cross  # (B, nc, CHUNK, W)
-    neg, widx = _fast_top_k(-d2, k)
+    cross = jnp.einsum("bcqd,bckd->bcqk", q, cand_xyz, **_DOT_KW)
+    d2 = jnp.maximum(q2[..., None] + c2[:, :, None, :] - 2.0 * cross, 0.0)
+    _, widx = _fast_top_k(-d2, k)  # (B, nc, CHUNK, k) window-local
+
+    # winner distances are recomputed elementwise (the three_nn precedent):
+    # even at HIGHEST the matmul form carries ~1e-3 absolute cancellation
+    # error at this coordinate scale, which the radius mask and the
+    # inverse-distance weights both consume downstream.
+    win = jnp.take_along_axis(
+        cand_xyz[:, :, None], widx[..., None].astype(jnp.int32), axis=3
+    )  # (B, nc, CHUNK, k, 3)
+    td2 = ((win - q[:, :, :, None, :]) ** 2).sum(-1)
 
     # window-local → sorted-cloud → original point index
     sidx = widx.astype(jnp.int32) + start[:, :, None, None]
     gidx = jnp.take_along_axis(
         perm, sidx.reshape(b, m * k), axis=1).reshape(b, m, k)
-    td2 = (-neg).reshape(b, m, k)
+    td2 = td2.reshape(b, m, k)
 
     # back to the caller's center order
     inv = jnp.argsort(cperm, axis=-1)

@@ -350,16 +350,25 @@ def _labels_via_pallas(preps, idx_b, d2_b, pb, vb, n_pad: int, radius: float,
     """Run the Pallas banded-gather DBSCAN on a batch of prepped frames.
 
     Returns (raw labels (B, N) int64 with -1 noise, core (B, N) bool) in
-    SORTED order — same contract as `_cluster_from_knn` per frame.
+    SORTED order — same contract as `_cluster_from_knn` per frame — or
+    ``None`` when the kernel's invariants can't hold for this input
+    (k > SLOTS, n_pad off the 1024 grid, or a window so wide its i16
+    local indices would collide with the ISENT sentinel / wrap negative);
+    callers then fall back to the still-correct XLA formulation.
     """
     from modest_tpu.ops import pallas_dbscan as PD
 
+    k = idx_b.shape[-1]
+    if k > PD.SLOTS or n_pad % 1024 != 0:
+        return None
     los, ws = [], []
     for pr in preps:
         lo, w = PD.window_rows(pr[1][:, 0], n_pad, radius)
         los.append(lo)
         ws.append(w)
     w = max(ws)
+    if w >= 32768:  # i16 local index 32767 == ISENT; larger wraps negative
+        return None
     lob = jnp.asarray(np.minimum(np.stack(los), n_pad // 128 - w // 128))
     rounds = 12
     while True:
@@ -405,11 +414,13 @@ def dbscan_pp(xyz: np.ndarray, pp: np.ndarray, *, n_neighbors: int = 70,
         idx, d2 = _knn_windowed(jnp.asarray(x), jnp.asarray(valid), k,
                                 kc, w, float(radius))
     if _use_pallas():
-        raw_b, core_b = _labels_via_pallas(
+        res = _labels_via_pallas(
             [(order, x, p, valid, need)], idx[None], d2[None],
             jnp.asarray(p)[None], jnp.asarray(valid)[None],
             n_pad, radius, eps, min_samples)
-        return _dbscan_post(raw_b[0, :n], order, n, core_b[0, :n])
+        if res is not None:
+            raw_b, core_b = res
+            return _dbscan_post(raw_b[0, :n], order, n, core_b[0, :n])
     raw, core = _cluster_from_knn(
         idx, d2, jnp.asarray(p), jnp.asarray(valid),
         np.float32(radius * radius), np.float32(eps), min_samples,
@@ -452,9 +463,12 @@ def dbscan_pp_many(frames, *, n_neighbors: int = 70, radius: float = 2.0,
         idx, d2 = _knn_batch(xb, vb, k, kc)
     else:
         idx, d2 = _knn_windowed_batch(xb, vb, k, kc, w, float(radius))
+    res = None
     if _use_pallas():
-        raw, core = _labels_via_pallas(preps, idx, d2, pb, vb, n_pad,
-                                       radius, eps, min_samples)
+        res = _labels_via_pallas(preps, idx, d2, pb, vb, n_pad,
+                                 radius, eps, min_samples)
+    if res is not None:
+        raw, core = res
     else:
         raw, core = _cluster_from_knn_batch(
             idx, d2, pb, vb, np.float32(radius * radius), np.float32(eps),

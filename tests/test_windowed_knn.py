@@ -51,7 +51,11 @@ def test_windowed_matches_exact_within_radius(b, m, n, k, r):
     np.testing.assert_allclose(td2, true_d2, rtol=1e-4, atol=1e-5)
 
 
-def test_windowed_gate_and_dispatch():
+def test_windowed_gate_and_dispatch(monkeypatch):
+    # windowed is opt-in (MODEST_WINDOWED_KNN=1): measured slower end-to-end
+    # than dense d² + approx top-k even with correct numerics (BENCH.md r4)
+    assert not p2.windowed_supports(4096, 12288)
+    monkeypatch.setattr(p2, "_WINDOWED_KNN", True)
     assert p2.windowed_supports(4096, 12288)
     assert p2.windowed_supports(1024, 4096)
     assert not p2.windowed_supports(256, 1024)   # small level → dense path
