@@ -215,17 +215,18 @@ def window_rows(xs_sorted: np.ndarray, n_pad: int, radius: float,
     return (lo_al // 128).astype(np.int32), int(w)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_pad", "w", "min_samples", "eps", "radius2", "rounds",
-                     "interpret"))
-def _dbscan_device(ppb, validb, lob, idxb, d2b, *, n_pad, w,
-                   min_samples, eps, radius2, rounds=12, interpret=False):
+def dbscan_device_impl(ppb, validb, lob, idxb, d2b, *, n_pad, w,
+                       min_samples, eps, radius2, rounds=12, interpret=False):
     """Batched TPU DBSCAN from precomputed kNN: (B, N, k) idx/d2 →
     packed (B, N) int32 (see return note), all frames converged together.
 
     lob: (B, C_pf) per-chunk window start rows (units of 128 entries,
     multiples of 8, clamped to [0, N/128 - w/128]) — frame-local.
+
+    Unjitted so callers can fuse it into a larger program (the pipeline
+    fuses the kNN graph build + this into ONE dispatch per frame group —
+    each separate jitted call through the axon relay costs a full
+    dispatch round trip); `_dbscan_device` below is the standalone entry.
     """
     b, n, k = idxb.shape
     assert n == n_pad and n % 1024 == 0 and k <= SLOTS
@@ -332,3 +333,8 @@ def _dbscan_device(ppb, validb, lob, idxb, d2b, *, n_pad, w,
     packed = (labels << 2) | (core2d.reshape(b, n).astype(jnp.int32) << 1) \
         | changed
     return packed
+
+
+_dbscan_device = functools.partial(jax.jit, static_argnames=(
+    "n_pad", "w", "min_samples", "eps", "radius2", "rounds", "interpret"))(
+        dbscan_device_impl)

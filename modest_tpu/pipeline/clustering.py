@@ -345,9 +345,35 @@ def _window_width(need: int, k: int, row_chunk: int) -> int:
     return max(1 << (max(need, k + 1, 512) - 1).bit_length(), row_chunk)
 
 
-def _labels_via_pallas(preps, idx_b, d2_b, pb, vb, n_pad: int, radius: float,
-                       eps: float, min_samples: int):
-    """Run the Pallas banded-gather DBSCAN on a batch of prepped frames.
+@functools.partial(jax.jit, static_argnames=(
+    "k", "kc", "w_knn", "n_pad", "w", "min_samples", "eps", "radius2",
+    "rounds"))
+def _knn_dbscan_fused(xb, vb, pb, lob, radius, *, k, kc, w_knn, n_pad, w,
+                      min_samples, eps, radius2, rounds):
+    """kNN graph build + Pallas DBSCAN as ONE compiled program.
+
+    The two halves used to be separate jitted calls; through the axon relay
+    every dispatch costs a full round trip (~40-100 ms), which dominated the
+    per-frame (non-group-batched) seed-gen path. Fusing them keeps the
+    (B, N, k) idx/d2 intermediates on device and pays one dispatch.
+    """
+    if w_knn < n_pad:
+        idx, d2 = jax.vmap(
+            lambda x, v: _knn_windowed_impl(x, v, k, kc, w_knn, radius)
+        )(xb, vb)
+    else:
+        idx, d2 = jax.vmap(lambda x, v: _knn_impl(x, v, k, kc))(xb, vb)
+    from modest_tpu.ops import pallas_dbscan as PD
+
+    return PD.dbscan_device_impl(
+        pb, vb, lob, idx, d2, n_pad=n_pad, w=w, min_samples=min_samples,
+        eps=eps, radius2=radius2, rounds=rounds), idx, d2
+
+
+def _labels_via_pallas(preps, xb, vb, pb, n_pad: int, k: int, kc: int,
+                       w_knn: int, radius: float, eps: float,
+                       min_samples: int):
+    """Fused kNN + Pallas banded-gather DBSCAN on a batch of prepped frames.
 
     Returns (raw labels (B, N) int64 with -1 noise, core (B, N) bool) in
     SORTED order — same contract as `_cluster_from_knn` per frame — or
@@ -358,7 +384,6 @@ def _labels_via_pallas(preps, idx_b, d2_b, pb, vb, n_pad: int, radius: float,
     """
     from modest_tpu.ops import pallas_dbscan as PD
 
-    k = idx_b.shape[-1]
     if k > PD.SLOTS or n_pad % 1024 != 0:
         return None
     los, ws = [], []
@@ -372,10 +397,13 @@ def _labels_via_pallas(preps, idx_b, d2_b, pb, vb, n_pad: int, radius: float,
     lob = jnp.asarray(np.minimum(np.stack(los), n_pad // 128 - w // 128))
     rounds = 12
     while True:
-        packed = np.asarray(PD._dbscan_device(
-            pb, vb, lob, idx_b, d2_b, n_pad=n_pad, w=w,
-            min_samples=min_samples, eps=float(eps),
-            radius2=float(radius * radius), rounds=rounds))
+        # retry (rare: the convergence certificate failed at this round
+        # budget) recomputes the kNN too — the fused win is on the common
+        # single-dispatch path
+        packed = np.asarray(_knn_dbscan_fused(
+            xb, vb, pb, lob, radius, k=k, kc=kc, w_knn=w_knn, n_pad=n_pad,
+            w=w, min_samples=min_samples, eps=float(eps),
+            radius2=float(radius * radius), rounds=rounds)[0])
         if not (packed.flat[0] & 1):
             break
         # fixed round budget was too small (pathologically chained frame):
@@ -408,19 +436,19 @@ def dbscan_pp(xyz: np.ndarray, pp: np.ndarray, *, n_neighbors: int = 70,
 
     k = min(n_neighbors, max(n - 1, 1))
     w = _window_width(need, k, kc)
+    if _use_pallas():
+        res = _labels_via_pallas(
+            [(order, x, p, valid, need)], jnp.asarray(x)[None],
+            jnp.asarray(valid)[None], jnp.asarray(p)[None],
+            n_pad, k, kc, min(w, n_pad), float(radius), eps, min_samples)
+        if res is not None:
+            raw_b, core_b = res
+            return _dbscan_post(raw_b[0, :n], order, n, core_b[0, :n])
     if w >= n_pad:
         idx, d2 = _knn(jnp.asarray(x), jnp.asarray(valid), k, row_chunk=kc)
     else:
         idx, d2 = _knn_windowed(jnp.asarray(x), jnp.asarray(valid), k,
                                 kc, w, float(radius))
-    if _use_pallas():
-        res = _labels_via_pallas(
-            [(order, x, p, valid, need)], idx[None], d2[None],
-            jnp.asarray(p)[None], jnp.asarray(valid)[None],
-            n_pad, radius, eps, min_samples)
-        if res is not None:
-            raw_b, core_b = res
-            return _dbscan_post(raw_b[0, :n], order, n, core_b[0, :n])
     raw, core = _cluster_from_knn(
         idx, d2, jnp.asarray(p), jnp.asarray(valid),
         np.float32(radius * radius), np.float32(eps), min_samples,
@@ -459,17 +487,18 @@ def dbscan_pp_many(frames, *, n_neighbors: int = 70, radius: float = 2.0,
     xb = jnp.asarray(np.stack([pr[1] for pr in preps]))
     pb = jnp.asarray(np.stack([pr[2] for pr in preps]))
     vb = jnp.asarray(np.stack([pr[3] for pr in preps]))
-    if w >= n_pad:
-        idx, d2 = _knn_batch(xb, vb, k, kc)
-    else:
-        idx, d2 = _knn_windowed_batch(xb, vb, k, kc, w, float(radius))
     res = None
     if _use_pallas():
-        res = _labels_via_pallas(preps, idx, d2, pb, vb, n_pad,
-                                 radius, eps, min_samples)
+        res = _labels_via_pallas(preps, xb, vb, pb, n_pad, k, kc,
+                                 min(w, n_pad), float(radius), eps,
+                                 min_samples)
     if res is not None:
         raw, core = res
     else:
+        if w >= n_pad:
+            idx, d2 = _knn_batch(xb, vb, k, kc)
+        else:
+            idx, d2 = _knn_windowed_batch(xb, vb, k, kc, w, float(radius))
         raw, core = _cluster_from_knn_batch(
             idx, d2, pb, vb, np.float32(radius * radius), np.float32(eps),
             min_samples,

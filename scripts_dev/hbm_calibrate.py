@@ -54,33 +54,33 @@ def _timed(fn, *args, iters=10, warmup=2):
 
 
 def calibrate():
-    print("== calibration: known-traffic kernels ==", flush=True)
-    best = 0.0
-    rows = []
-    for mib in (64, 256, 512, 1024):
-        n = mib * (1 << 20) // 4
-        x = jnp.arange(n, dtype=jnp.float32)
+    """Measured HBM READ bandwidth with the relay's per-dispatch overhead
+    differenced out: K full passes over a 256 MiB buffer inside ONE
+    program (fori_loop with an iteration-dependent scale so XLA cannot
+    fuse the passes into one read), at two K values — the slope is pure
+    HBM traffic. Single-pass kernels are useless here: the relay costs
+    5-100 ms per dispatch, swamping a ~1 ms read."""
+    import functools
 
-        @jax.jit
-        def copy(a):
-            return a * 1.0000001  # read N, write N (not folded away)
-
-        @jax.jit
-        def reduce(a):
-            return a.sum()  # read N, write 4 bytes
-
-        t_copy = _timed(copy, x)
-        t_red = _timed(reduce, x)
-        bw_copy = 2 * n * 4 / t_copy / 1e9
-        bw_red = n * 4 / t_red / 1e9
-        rows.append((mib, t_copy * 1e3, bw_copy, t_red * 1e3, bw_red))
-        best = max(best, bw_copy, bw_red)
-        print(f"  {mib:5d} MiB: copy {t_copy * 1e3:7.3f} ms -> {bw_copy:6.1f} GB/s"
-              f" | reduce {t_red * 1e3:7.3f} ms -> {bw_red:6.1f} GB/s", flush=True)
-    print(f"calibrated achievable HBM bandwidth: {best:.1f} GB/s"
-          f" ({100 * best / V5E_HBM_PEAK_GBS:.1f}% of the 819 GB/s v5e spec)",
+    print("== calibration: K-pass read kernel (overhead differenced) ==",
           flush=True)
-    return best
+    n = 256 * (1 << 20) // 4
+    x = jnp.arange(n, dtype=jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames="k")
+    def read_k(a, k):
+        def body(i, acc):
+            return acc + (a * (1.0 + 1e-9 * i.astype(jnp.float32))).sum()
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+    t8 = _timed(lambda a: read_k(a, 8), x)
+    t32 = _timed(lambda a: read_k(a, 32), x)
+    bw = (n * 4 * (32 - 8)) / (t32 - t8) / 1e9
+    print(f"  8 passes {t8 * 1e3:7.2f} ms | 32 passes {t32 * 1e3:7.2f} ms "
+          f"-> slope {bw:6.1f} GB/s "
+          f"({100 * bw / V5E_HBM_PEAK_GBS:.1f}% of the 819 GB/s v5e spec)",
+          flush=True)
+    return bw
 
 
 def train_step_wall(batch: int):

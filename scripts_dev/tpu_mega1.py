@@ -204,5 +204,18 @@ def train_exact_vs_approx():
         sys.argv = saved
 
 
+@step("8")
+def pp_stage_split():
+    import runpy
+
+    saved = sys.argv
+    sys.argv = ["pp_score_profile.py"]
+    try:
+        runpy.run_path(str(Path(__file__).resolve().parent / "pp_score_profile.py"),
+                       run_name="__main__")
+    finally:
+        sys.argv = saved
+
+
 if __name__ == "__main__":
     print("MEGA: all requested steps attempted", flush=True)

@@ -124,6 +124,6 @@ loss_a, ap_a = run(mode_exact=False)
 loss_e, ap_e = run(mode_exact=True)
 print("\nA/B summary (approx vs exact):")
 print(f"  final loss: {loss_a[-1][1]:.3f} vs {loss_e[-1][1]:.3f}")
-for k in ap_a:
-    print(f"  {k}: {ap_a[k]} vs {ap_e[k]}")
+for k in ap_a[1]:  # ap_from_lidar_annos returns (result_str, result_dict)
+    print(f"  {k}: {ap_a[1][k]:.2f} vs {ap_e[1][k]:.2f}")
 p2.set_exact_ops(False)

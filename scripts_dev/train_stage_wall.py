@@ -145,7 +145,7 @@ def main():
         state = create_train_state(
             model, tx, {"points": np.asarray(points), "gt_boxes": np.asarray(gt)})
         key = jax.random.PRNGKey(7)
-        variables = {"params": state.params, **state.model_state}
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
 
         rows = []
         names = ["T0 backbone", "T1 +point head+decode", "T2 +proposal NMS",
