@@ -61,6 +61,10 @@ def parse_config(argv=None):
     parser.add_argument("--ckpt_save_interval", type=int, default=1)
     parser.add_argument("--max_ckpt_save_num", type=int, default=30)
     parser.add_argument("--merge_all_iters_to_one_epoch", action="store_true")
+    parser.add_argument("--steps_per_dispatch", type=int, default=1,
+                        help="optimizer steps per device dispatch (lax.scan "
+                        "over stacked batches; bit-identical to 1, amortizes "
+                        "the fixed per-dispatch cost)")
     parser.add_argument("--num_devices", type=int, default=None)
     parser.add_argument("--launcher", choices=["none", "slurm", "manual"],
                         default="none",
@@ -169,6 +173,7 @@ def main(argv=None):
         logger=logger,
         merge_all_iters_to_one_epoch=args.merge_all_iters_to_one_epoch,
         metrics_logger=metrics_logger,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
     if manager.latest_step() != epochs:  # interval save may already cover it
         save_checkpoint(manager, __import__("jax").device_get(state), epochs)

@@ -13,7 +13,7 @@ import numpy as np
 from ..data.loader import prefetch_to_device
 from .checkpoint import save_checkpoint
 from .optim import current_lr
-from .state import make_eval_step, make_train_step
+from .state import make_eval_step, make_train_multi_step, make_train_step
 
 _CAMERA_KEYS = ("images", "trans_lidar_to_cam", "trans_cam_to_img",
                 "depth_maps", "gt_boxes2d")
@@ -38,8 +38,11 @@ def train_model(model, model_cfg, optimizer, state, loader, *, mesh=None,
                 start_epoch: int, total_epochs: int, ckpt_manager=None,
                 ckpt_save_interval: int = 1, logger=None, rng_seed: int = 666,
                 log_interval: int = 50, merge_all_iters_to_one_epoch: bool = False,
-                metrics_logger=None):
+                metrics_logger=None, steps_per_dispatch: int = 1):
     train_step = make_train_step(model, model_cfg, optimizer, mesh)
+    spd = max(int(steps_per_dispatch), 1)
+    multi_step = (make_train_multi_step(model, model_cfg, optimizer, mesh)
+                  if spd > 1 else None)
     rng = jax.random.PRNGKey(rng_seed)
     log = logger.info if logger else print
 
@@ -48,25 +51,61 @@ def train_model(model, model_cfg, optimizer, state, loader, *, mesh=None,
         t0 = time.time()
         n_it = 0
         last_metrics = {}
-        for batch in batches:
-            state, metrics = train_step(
-                state, model_inputs(batch, model_cfg),
-                jnp.asarray(batch["gt_boxes"]), rng,
+        last_step = None  # (metrics pytree, scan index or None)
+        pend = []  # (points, gt) awaiting a full steps_per_dispatch group
+
+        def do_log(metrics, idx=None):
+            nonlocal last_metrics
+            last_metrics = {
+                k: float(v if idx is None else v[idx]) for k, v in metrics.items()}
+            lr = current_lr(state.opt_state)
+            log(
+                f"epoch {epoch} it {n_it}/{its_this_epoch} "
+                f"loss {last_metrics['loss']:.4f} lr {lr:.6f}"
             )
-            n_it += 1
-            if n_it % log_interval == 0:
-                last_metrics = {k: float(v) for k, v in metrics.items()}
-                lr = current_lr(state.opt_state)
-                log(
-                    f"epoch {epoch} it {n_it}/{its_this_epoch} "
-                    f"loss {last_metrics['loss']:.4f} lr {lr:.6f}"
-                )
-                if metrics_logger is not None:
-                    metrics_logger.log(int(state.step), {**last_metrics, "lr": lr},
-                                       prefix="train/")
-            if n_it >= its_this_epoch:
+            if metrics_logger is not None:
+                metrics_logger.log(int(state.step), {**last_metrics, "lr": lr},
+                                   prefix="train/")
+
+        def flush_pending():
+            # tail shorter than the group: bit-identical single steps
+            nonlocal state, n_it, last_step
+            for pts, gt in pend:
+                state, metrics = train_step(state, pts, gt, rng)
+                n_it += 1
+                last_step = (metrics, None)
+                if n_it % log_interval == 0:
+                    do_log(metrics)
+            pend.clear()
+
+        for batch in batches:
+            pts = model_inputs(batch, model_cfg)
+            gt = jnp.asarray(batch["gt_boxes"])
+            if multi_step is None:
+                state, metrics = train_step(state, pts, gt, rng)
+                n_it += 1
+                last_step = (metrics, None)
+                if n_it % log_interval == 0:
+                    do_log(metrics)
+            else:
+                pend.append((pts, gt))
+                if len(pend) == spd:
+                    state, metrics = multi_step(
+                        state, jnp.stack([p for p, _ in pend]),
+                        jnp.stack([g for _, g in pend]), rng)
+                    lo, n_it = n_it, n_it + spd
+                    last_step = (metrics, spd - 1)
+                    pend.clear()
+                    for j in range(lo + 1, n_it + 1):
+                        if j % log_interval == 0:
+                            do_log(metrics, idx=j - lo - 1)
+            if n_it + len(pend) >= its_this_epoch:
+                flush_pending()
                 break
-        last_metrics = {k: float(v) for k, v in metrics.items()} if n_it else {}
+        flush_pending()
+        last_metrics = ({k: float(v if last_step[1] is None else v[last_step[1]])
+                         for k, v in last_step[0].items()}
+                        if last_step is not None else {})
         log(
             f"epoch {epoch} done in {time.time() - t0:.1f}s "
             + " ".join(f"{k}={v:.4f}" for k, v in last_metrics.items())

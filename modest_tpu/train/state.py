@@ -14,6 +14,7 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..models import api as model_api
 from ..parallel.mesh import batch_sharding, replicated
@@ -57,7 +58,7 @@ def create_train_state(model, optimizer, sample_batch, seed: int = 666) -> Train
     )
 
 
-def make_train_step(model, model_cfg, optimizer, mesh=None):
+def _train_step_body(model, model_cfg, optimizer):
     def train_step(state: TrainState, points, gt_boxes, rng):
         rng = jax.random.fold_in(rng, state.step)
 
@@ -82,6 +83,11 @@ def make_train_step(model, model_cfg, optimizer, mesh=None):
         )
         return new_state, metrics
 
+    return train_step
+
+
+def make_train_step(model, model_cfg, optimizer, mesh=None):
+    train_step = _train_step_body(model, model_cfg, optimizer)
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0,))
     bs = batch_sharding(mesh)
@@ -89,6 +95,41 @@ def make_train_step(model, model_cfg, optimizer, mesh=None):
     return jax.jit(
         train_step,
         in_shardings=(rep, bs, bs, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+def make_train_multi_step(model, model_cfg, optimizer, mesh=None):
+    """K sequential optimizer steps in ONE dispatch (lax.scan over stacked
+    batches (K, B, ...)).
+
+    Bit-identical to K calls of make_train_step with the same `rng` and the
+    same batches in order (the per-step key is fold_in(rng, state.step),
+    which the scan body reproduces); metrics come back stacked (K,). The
+    win is amortizing the fixed per-dispatch cost — optimizer tail + relay
+    round trip, ~17 ms/step at B=8 on this platform — across K steps;
+    production TPU-VM hosts pay less per dispatch but still benefit at
+    small per-step times. The K batches must be resident together
+    (K × B × 12288 × 4 f32 ≈ 1.6 MB per K at B=8 — negligible next to
+    activations).
+    """
+    train_step = _train_step_body(model, model_cfg, optimizer)
+
+    def multi_step(state: TrainState, points_k, gt_boxes_k, rng):
+        def body(st, xs):
+            pts, gt = xs
+            return train_step(st, pts, gt, rng)
+
+        return jax.lax.scan(body, state, (points_k, gt_boxes_k))
+
+    if mesh is None:
+        return jax.jit(multi_step, donate_argnums=(0,))
+    bs_k = NamedSharding(mesh, P(None, "data"))  # (K, B, ...) — shard B
+    rep = replicated(mesh)
+    return jax.jit(
+        multi_step,
+        in_shardings=(rep, bs_k, bs_k, rep),
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )

@@ -233,3 +233,33 @@ def test_merge_all_iters_trains_one_pass(synth_env, tmp_path):
     )
     # merged dataset: 4 train frames × 2 epochs = 8 samples → 4 steps @B=2
     assert int(jax.device_get(state.step)) == 4
+
+
+def test_steps_per_dispatch_equivalence(synth_env, tmp_path):
+    """--steps_per_dispatch 2 (lax.scan over stacked batches) trains to the
+    SAME parameters as the default per-step driver on the same seed/stream,
+    including the odd tail handled by single steps."""
+    import jax
+    import numpy as np
+
+    from modest_tpu.cli import train as train_cli
+
+    root, cfg_file = synth_env
+    states = []
+    for spd, tag in (("1", "spd1"), ("2", "spd2")):
+        state = train_cli.main(
+            [
+                "--cfg_file", str(cfg_file),
+                "--batch_size", "2",
+                "--epochs", "1",
+                "--num_devices", "2",
+                "--fix_random_seed",
+                "--steps_per_dispatch", spd,
+                "--output_dir", str(tmp_path / f"out_{tag}"),
+            ]
+        )
+        states.append(jax.device_get(state))
+    assert int(states[0].step) == int(states[1].step) > 0
+    for a, b in zip(jax.tree_util.tree_leaves(states[0].params),
+                    jax.tree_util.tree_leaves(states[1].params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
