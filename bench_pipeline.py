@@ -88,6 +88,23 @@ def bench_pp_score(rng, origins=4, traversals=5, frames_per_trav=8):
         "detail": f"{n} origin pts vs {f} cached frames ({total_pts} pts) in {traversals} traversals",
     }))
 
+    # pipelined variant — the CLI's 2-in-flight origin pipeline: one
+    # origin's host/query-upload/entropy stages overlap another's device
+    # radius count (cli/pre_compute_pp_score.py pipeline_workers)
+    import concurrent.futures as cf
+
+    many = olist * 3
+    with cf.ThreadPoolExecutor(2) as pool:
+        t0 = time.perf_counter()
+        list(pool.map(one, many))
+        dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "pp_score_pipelined_scans_per_sec",
+        "value": round(len(many) / dt, 3),
+        "unit": "scans/s",
+        "detail": "2 origins in flight (CLI pipeline_workers=2)",
+    }))
+
 
 def bench_seed_gen(rng, frames=3):
     from modest_tpu.pipeline.seed_labels import generate_mask_for_frame

@@ -59,19 +59,7 @@ def main(argv=None):
     if trans_dir is not None:
         os.makedirs(trans_dir, exist_ok=True)
 
-    for origin_idx in tqdm(idx_list):
-        origin_idx = int(origin_idx)
-        out = osp.join(cfg.data_paths.pp_score_path, f"{origin_idx:06d}.npy")
-        if osp.exists(out) or osp.exists(out[:-4]):
-            continue
-        n_traversals = len(valid_idx[origin_idx][2])
-        assert n_traversals > 1, origin_idx
-
-        if trans_dir is not None:
-            _, trans_mat = index.combined_traversals(origin_idx)
-            np.save(osp.join(trans_dir, f"{origin_idx:06d}.npy"), trans_mat)
-        if cfg.skip_ephe:
-            continue
+    def process(origin_idx: int, out: str):
         if use_cache:
             H = pp_score_for_frame_cached(
                 index, cache, origin_idx,
@@ -87,6 +75,42 @@ def main(argv=None):
                 add_random_noise=cfg.add_random_noise,
             )
         np.save(out, H.astype(np.float32))
+
+    # software pipeline: 2 origins in flight — one origin's host stages
+    # (pose math, cloud transform, query upload, counts download, entropy)
+    # overlap the other's device radius count. Measured stage split (round
+    # 4, pp_score_profile): upload 55.7 ms + host 19 ms vs device 77 ms per
+    # frame — serialized they sum, pipelined the device stays busy.
+    workers = int(cfg.get("pipeline_workers", 2)) if use_cache else 1
+
+    import collections
+    import concurrent.futures as cf
+
+    pool = cf.ThreadPoolExecutor(workers) if workers > 1 else None
+    futs: "collections.deque" = collections.deque()
+    for origin_idx in tqdm(idx_list):
+        origin_idx = int(origin_idx)
+        out = osp.join(cfg.data_paths.pp_score_path, f"{origin_idx:06d}.npy")
+        if osp.exists(out) or osp.exists(out[:-4]):
+            continue
+        n_traversals = len(valid_idx[origin_idx][2])
+        assert n_traversals > 1, origin_idx
+
+        if trans_dir is not None:
+            _, trans_mat = index.combined_traversals(origin_idx)
+            np.save(osp.join(trans_dir, f"{origin_idx:06d}.npy"), trans_mat)
+        if cfg.skip_ephe:
+            continue
+        if pool is None:
+            process(origin_idx, out)
+        else:
+            futs.append(pool.submit(process, origin_idx, out))
+            while len(futs) > workers:
+                futs.popleft().result()
+    for f in futs:
+        f.result()
+    if pool is not None:
+        pool.shutdown()
 
 
 if __name__ == "__main__":

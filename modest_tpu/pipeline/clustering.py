@@ -396,21 +396,25 @@ def _labels_via_pallas(preps, xb, vb, pb, n_pad: int, k: int, kc: int,
         return None
     lob = jnp.asarray(np.minimum(np.stack(los), n_pad // 128 - w // 128))
     rounds = 12
+    packed_d, idx_d, d2_d = _knn_dbscan_fused(
+        xb, vb, pb, lob, radius, k=k, kc=kc, w_knn=w_knn, n_pad=n_pad,
+        w=w, min_samples=min_samples, eps=float(eps),
+        radius2=float(radius * radius), rounds=rounds)
     while True:
-        # retry (rare: the convergence certificate failed at this round
-        # budget) recomputes the kNN too — the fused win is on the common
-        # single-dispatch path
-        packed = np.asarray(_knn_dbscan_fused(
-            xb, vb, pb, lob, radius, k=k, kc=kc, w_knn=w_knn, n_pad=n_pad,
-            w=w, min_samples=min_samples, eps=float(eps),
-            radius2=float(radius * radius), rounds=rounds)[0])
+        packed = np.asarray(packed_d)
         if not (packed.flat[0] & 1):
             break
         # fixed round budget was too small (pathologically chained frame):
-        # double and re-run — the fixpoint certificate keeps this exact
+        # double and re-run — the fixpoint certificate keeps this exact.
+        # Retries reuse the device-resident kNN graph (idx_d/d2_d) instead
+        # of re-running the fused program's kNN half.
         rounds *= 2
         if rounds > 96:
             raise RuntimeError("dbscan propagation failed to converge")
+        packed_d = PD._dbscan_device(
+            pb, vb, lob, idx_d, d2_d, n_pad=n_pad, w=w,
+            min_samples=min_samples, eps=float(eps),
+            radius2=float(radius * radius), rounds=rounds)
     raw = (packed >> 2).astype(np.int64)
     raw = np.where(raw >= n_pad, -1, raw)
     return raw, ((packed >> 1) & 1).astype(bool)

@@ -278,16 +278,20 @@ class DeviceFrameCache:
 
     def __init__(self, load_fn, m_pad: int | None = None, chunk: int = 8192,
                  max_frames: int = 512):
+        import threading
+
         self.load_fn = load_fn
         self.m_pad = m_pad
         self.chunk = chunk
         self.max_frames = max_frames
         self._frames: "collections.OrderedDict[int, tuple]" = collections.OrderedDict()
+        self._lock = threading.Lock()  # pipelined CLI: 2 origins in flight
 
     def frame(self, gid: int):
-        if gid in self._frames:
-            self._frames.move_to_end(gid)
-            return self._frames[gid]
+        with self._lock:
+            if gid in self._frames:
+                self._frames.move_to_end(gid)
+                return self._frames[gid]
         pts = np.asarray(self.load_fn(gid), np.float32)[:, :3]
         if self.m_pad is None:
             self.m_pad = max(self.chunk, 1 << (pts.shape[0] - 1).bit_length())
@@ -296,15 +300,19 @@ class DeviceFrameCache:
         buf[: pts.shape[0]] = pts
         mask = np.zeros(self.m_pad, bool)
         mask[: pts.shape[0]] = True
-        while len(self._frames) >= self.max_frames:
-            _, (old_buf, old_mask) = self._frames.popitem(last=False)
-            for a in (old_buf, old_mask):
-                try:
-                    a.delete()
-                except Exception:
-                    pass
-        self._frames[gid] = (jax.device_put(buf), jax.device_put(mask))
-        return self._frames[gid]
+        with self._lock:
+            if gid in self._frames:  # raced: another thread filled it
+                self._frames.move_to_end(gid)
+                return self._frames[gid]
+            while len(self._frames) >= self.max_frames:
+                _, (old_buf, old_mask) = self._frames.popitem(last=False)
+                for a in (old_buf, old_mask):
+                    try:
+                        a.delete()
+                    except Exception:
+                        pass
+            self._frames[gid] = (jax.device_put(buf), jax.device_put(mask))
+            return self._frames[gid]
 
 
 def pp_score_for_frame_cached(index: TraversalIndex, cache: DeviceFrameCache,

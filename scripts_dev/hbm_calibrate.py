@@ -43,7 +43,10 @@ V5E_HBM_PEAK_GBS = 819.0
 def _timed(fn, *args, iters=10, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    # block_until_ready returns EARLY on the axon relay — a real device→host
+    # fetch is the only reliable fence, else warmup work leaks into the
+    # timed window (measured: it made an 8-pass kernel "slower" than 32)
+    np.asarray(jax.device_get(jnp.ravel(out)[0] if hasattr(out, "ndim") else out))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
@@ -73,10 +76,13 @@ def calibrate():
             return acc + (a * (1.0 + 1e-9 * i.astype(jnp.float32))).sum()
         return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 
-    t8 = _timed(lambda a: read_k(a, 8), x)
-    t32 = _timed(lambda a: read_k(a, 32), x)
-    bw = (n * 4 * (32 - 8)) / (t32 - t8) / 1e9
-    print(f"  8 passes {t8 * 1e3:7.2f} ms | 32 passes {t32 * 1e3:7.2f} ms "
+    # pass counts large enough that each timed dispatch runs 100s of ms —
+    # relay timing noise at this scale is tens of ms, which poisoned an
+    # earlier 8-vs-32-pass version (slope came out negative)
+    t64 = _timed(lambda a: read_k(a, 64), x, iters=4)
+    t256 = _timed(lambda a: read_k(a, 256), x, iters=4)
+    bw = (n * 4 * (256 - 64)) / (t256 - t64) / 1e9
+    print(f"  64 passes {t64 * 1e3:7.1f} ms | 256 passes {t256 * 1e3:7.1f} ms "
           f"-> slope {bw:6.1f} GB/s "
           f"({100 * bw / V5E_HBM_PEAK_GBS:.1f}% of the 819 GB/s v5e spec)",
           flush=True)
@@ -129,7 +135,7 @@ def train_step_wall(batch: int):
 
     iters = 10
     state, metrics = step(state, pts, gtj, key)  # warm
-    jax.block_until_ready(state.params)
+    float(metrics["loss"])  # real fence (block_until_ready returns early)
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, pts, gtj, key)

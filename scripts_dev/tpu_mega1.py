@@ -37,16 +37,68 @@ enable_compilation_cache()
 import jax
 import jax.numpy as jnp
 
-STEPS = sys.argv[1:] or ["1", "2", "3", "4", "5", "6", "7"]
+STEPS = sys.argv[1:] or ["1", "2", "3", "4", "5", "6", "7", "8", "9"]
 
 
 def banner(msg):
     print(f"\nMEGA: ==== {msg} ====", flush=True)
 
 
+def wait_healthy(max_wait_s: float = 7200.0):
+    """Hold the claim but delay measurements until the chip/relay is sane.
+
+    Slot-to-slot the platform varies wildly (measured: the same B=4 train
+    step 112 ms in one slot, 28,664 ms in the next; tiny-op round trips
+    from 5 ms to seconds). Two canaries gate every measurement step:
+    dispatch+sync latency of a tiny op (healthy < 300 ms) and a fixed
+    2048^3 f32 matmul (healthy < 100 ms). Unhealthy -> sleep 2 min and
+    re-probe, keeping the claim so recovery is caught immediately.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda x, c: (x * c).sum())
+    # 8 chained matmuls -> scalar: compute-weighted, 4-byte download (the
+    # relay fetches at ~0.02 GB/s, so the canary must NEVER download a
+    # matrix; an earlier version fetched 16 MB and read "degraded" on a
+    # healthy chip)
+    mm = jax.jit(lambda a, c: jax.lax.fori_loop(
+        0, 8, lambda i, acc: (acc @ a) * (1.0 + 1e-9 * i), a)[0, 0])
+    x = jnp.ones((256, 256))
+    a = jnp.ones((2048, 2048)) * 1e-3
+    np.asarray(tiny(x, 1.0))  # compile
+    np.asarray(mm(a, 1.0))
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        lats = []
+        for i in range(3):
+            s = time.perf_counter()
+            np.asarray(tiny(x, 2.0 + i))
+            lats.append(time.perf_counter() - s)
+        lat = min(lats)
+        s = time.perf_counter()
+        np.asarray(mm(a, 2.0))
+        mmt = time.perf_counter() - s
+        healthy = lat < 0.3 and mmt < 0.25
+        print(f"MEGA: canary: tiny-op {lat * 1e3:.0f} ms, 2048^3 matmul "
+              f"{mmt * 1e3:.0f} ms -> {'HEALTHY' if healthy else 'degraded'}",
+              flush=True)
+        if healthy:
+            return True
+        time.sleep(120)
+    print("MEGA: canary never went healthy; measuring anyway", flush=True)
+    return False
+
+
+_CANARIED = []
+
+
 def step(tag):
     def deco(fn):
         if tag in STEPS:
+            if not _CANARIED:
+                _CANARIED.append(True)
+                wait_healthy()
             banner(f"step {tag}: {fn.__name__}")
             t0 = time.time()
             try:
@@ -202,6 +254,73 @@ def train_exact_vs_approx():
                        run_name="__main__")
     finally:
         sys.argv = saved
+
+
+@step("9")
+def multi_step_train_throughput():
+    """K-steps-per-dispatch vs per-step dispatch at B=8 (amortization)."""
+    import optax
+
+    from modest_tpu.models.pointrcnn import PointRCNN
+    from modest_tpu.train.state import (create_train_state,
+                                        make_train_multi_step,
+                                        make_train_step)
+    from modest_tpu.utils.config import cfg_from_yaml_file
+
+    cfg = cfg_from_yaml_file("configs/models/lyft_models/pointrcnn_dynamic_obj.yaml")
+    model = PointRCNN(model_cfg=cfg.MODEL, num_class=len(cfg.CLASS_NAMES))
+    B, N, K = 8, 12288, 8
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(0, 1, (K, B, N, 4)).astype(np.float32)
+    pts[..., 0] *= 80
+    pts[..., 1] = (pts[..., 1] - 0.5) * 80
+    pts[..., 2] = (pts[..., 2] - 0.5) * 3 - 0.5
+    gt = np.zeros((K, B, 16, 8), np.float32)
+    for kk in range(K):
+        for b in range(B):
+            for j in range(10):
+                c = rng.uniform([5, -30, -1.6], [70, 30, -1.4])
+                sl = slice(j * 300, (j + 1) * 300)
+                pts[kk, b, sl, :3] = c + rng.uniform(-1, 1, (300, 3)) * [2, 0.9, 0.7]
+                gt[kk, b, j, :7] = [c[0], c[1], c[2], 4, 2, 1.6, 0.3]
+                gt[kk, b, j, 7] = 1
+    tx = optax.adam(1e-3)
+    state = create_train_state(model, tx, {"points": pts[0], "gt_boxes": gt[0]})
+    single = make_train_step(model, cfg.MODEL, tx)
+    multi = make_train_multi_step(model, cfg.MODEL, tx)
+    key = jax.random.PRNGKey(7)
+    ptsj, gtj = jnp.asarray(pts), jnp.asarray(gt)
+
+    st = jax.tree_util.tree_map(jnp.array, state)
+    st, m = single(st, ptsj[0], gtj[0], key)  # compile + warm
+    float(m["loss"])
+    t0 = time.perf_counter()
+    iters = 2
+    for _ in range(iters):
+        for kk in range(K):
+            st, m = single(st, ptsj[kk], gtj[kk], key)
+        float(m["loss"])
+    per_step = (time.perf_counter() - t0) / (iters * K)
+    print(f"MEGA: single-step driver: {per_step * 1e3:.1f} ms/step = "
+          f"{B / per_step:.1f} train scans/s/chip", flush=True)
+
+    st = jax.tree_util.tree_map(jnp.array, state)
+    st, mm = multi(st, ptsj, gtj, key)  # compile + warm
+    float(mm["loss"][-1])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        st, mm = multi(st, ptsj, gtj, key)
+        float(mm["loss"][-1])
+    per_step_k = (time.perf_counter() - t0) / (iters * K)
+    print(f"MEGA: K={K}-steps/dispatch:  {per_step_k * 1e3:.1f} ms/step = "
+          f"{B / per_step_k:.1f} train scans/s/chip", flush=True)
+
+
+@step("10")
+def seedgen_fused_ab():
+    import seedgen_ab
+
+    seedgen_ab.main()
 
 
 @step("8")

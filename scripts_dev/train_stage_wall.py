@@ -78,9 +78,9 @@ def stage_loss(variables, points, gt, key, stage: int):
     def fwd(variables):
         xyz = points[..., :3]
         b, n = points.shape[0], points.shape[1]
-        feats, point_cls, point_box = model.apply(
+        (feats, point_cls, point_box), _ = model.apply(
             variables, points, train=True, method=_backbone_and_point_head,
-            rngs={"sampler": key})
+            rngs={"sampler": key}, mutable=["batch_stats"])
         if stage == 0:
             return feats.sum()
         point_scores = jax.nn.sigmoid(point_cls.max(axis=-1))
@@ -161,7 +161,9 @@ def main():
         from modest_tpu.train.state import make_train_step
 
         def full_loss(v):
-            out = model.apply(v, points, gt, train=True, rngs={"sampler": key})
+            out, _ = model.apply(v, points, gt, train=True,
+                                 rngs={"sampler": key},
+                                 mutable=["batch_stats"])
             loss, _ = pointrcnn_loss(out, gt, mcfg, num_class=len(cfg.CLASS_NAMES))
             return loss
 
