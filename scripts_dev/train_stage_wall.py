@@ -147,15 +147,26 @@ def main():
         key = jax.random.PRNGKey(7)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 
+        # FWD-ONLY truncations (the VALUE is fetched, so nothing DCEs; an
+        # earlier jax.grad-only version read "4.9 ms" for T2 because the
+        # post-proposal stages are stop-gradient'ed — grads were all zero
+        # and XLA deleted the forward). Deltas between consecutive rows
+        # attribute forward wall to the stage added; bwd is measured
+        # separately below where gradients actually flow (T0, full).
         rows = []
         names = ["T0 backbone", "T1 +point head+decode", "T2 +proposal NMS",
                  "T3 +roi sample/targets", "T4 +roipoint pool"]
         for stage in range(5):
-            g = jax.jit(jax.grad(
-                lambda v, s=stage: stage_loss(v, points, gt, key, s)))
-            ms = timeit(g, variables)
+            f = jax.jit(lambda v, s=stage: stage_loss(v, points, gt, key, s))
+            ms = timeit(f, variables)
             rows.append((names[stage], ms))
-            print(f"B={B} {names[stage]:26s} fwd+bwd {ms:7.1f} ms", flush=True)
+            print(f"B={B} {names[stage]:26s} fwd {ms:7.1f} ms", flush=True)
+
+        g0 = jax.jit(jax.value_and_grad(
+            lambda v: stage_loss(v, points, gt, key, 0)))
+        ms_bwd0 = timeit(lambda v: g0(v)[0], variables)
+        print(f"B={B} {'T0 backbone fwd+bwd':26s}     {ms_bwd0:7.1f} ms",
+              flush=True)
 
         # T5: full loss fwd+bwd; T6: full step
         from modest_tpu.train.state import make_train_step
@@ -167,17 +178,19 @@ def main():
             loss, _ = pointrcnn_loss(out, gt, mcfg, num_class=len(cfg.CLASS_NAMES))
             return loss
 
+        ms5f = timeit(jax.jit(full_loss), variables)
+        print(f"B={B} {'T5 full loss fwd':26s}     {ms5f:7.1f} ms", flush=True)
         ms5 = timeit(jax.jit(jax.grad(full_loss)), variables)
         print(f"B={B} {'T5 full loss':26s} fwd+bwd {ms5:7.1f} ms", flush=True)
         step = make_train_step(model, cfg.MODEL, tx)
-        s2, m = step(state, points, gt, key)
 
         def run_step(st):
             st, mm = step(st, points, gt, key)
             return st, mm
 
-        # warm + timed (sync via metric fetch)
-        st = state
+        # warm + timed (sync via metric fetch); the step donates its state
+        # arg, so it runs on a copy and chains thereafter
+        st = jax.tree_util.tree_map(jnp.array, state)
         st, mm = run_step(st)
         float(mm["loss"])
         t0 = time.perf_counter()
@@ -190,10 +203,12 @@ def main():
               f"= {B / ms6 * 1e3:.1f} train scans/s/chip", flush=True)
 
         prev = 0.0
-        print(f"\nB={B} stage deltas (ms):")
-        for nme, ms in rows + [("T5 full loss", ms5)]:
+        print(f"\nB={B} forward stage deltas (ms):")
+        for nme, ms in rows + [("T5 full loss fwd", ms5f)]:
             print(f"  {nme:26s} {ms - prev:7.1f}")
             prev = ms
+        print(f"  {'bwd (T5 grad - T5 fwd)':26s} {ms5 - ms5f:7.1f}")
+        print(f"  {'backbone bwd (T0 pair)':26s} {ms_bwd0 - rows[0][1]:7.1f}")
 
 
 if __name__ == "__main__":
