@@ -284,6 +284,25 @@ def interpolate_features(unknown, known, known_feats):
 # ---------------------------------------------------------------------------
 
 
+def compact_select(mask, k: int):
+    """First-k True positions of ``mask`` (1-D, length N) in index order.
+
+    Returns (cnt = mask.sum() int32, idx (k,) int32 — the j-th True index in
+    slot j; slots ≥ min(cnt, k) hold garbage the caller wrap-fills).
+
+    One cumsum + one unique-target scatter — no sort, no top-k: exactly the
+    reference CUDA kernels' first-by-index selection (better than the
+    approx_max_k index-rank trick, which drops ~5% of slots at its 0.95
+    recall), and O(N) instead of a k-deep selection network.
+    """
+    n = mask.shape[0]
+    col = jnp.arange(n, dtype=jnp.int32)
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1  # rank among True, by index
+    tgt = jnp.where(mask & (pos < k), pos, k)  # overflow/False → dump slot k
+    buf = jnp.zeros((k + 1,), jnp.int32).at[tgt].set(col, mode="drop")
+    return pos[-1] + 1, buf[:k]
+
+
 @functools.partial(jax.jit, static_argnames=("num_sampled_points",))
 def roipoint_pool3d(points, point_features, boxes3d, num_sampled_points: int = 512,
                     pool_extra_width=(0.0, 0.0, 0.0)):
@@ -311,10 +330,20 @@ def roipoint_pool3d(points, point_features, boxes3d, num_sampled_points: int = 5
         )
         n = pts.shape[0]
         col = jnp.arange(n, dtype=jnp.int32)
-        score = jnp.where(in_box, -col.astype(jnp.float32), -jnp.inf)
-        top_scores, top_idx = _fast_top_k(score, num_sampled_points)
-        valid = jnp.isfinite(top_scores)
-        cnt = valid.sum().astype(jnp.int32)
+        if jax.default_backend() == "cpu" or _EXACT_OPS:
+            # oracle-shaped formulation (index-rank top_k)
+            score = jnp.where(in_box, -col.astype(jnp.float32), -jnp.inf)
+            top_scores, top_idx = _fast_top_k(score, num_sampled_points)
+            cnt = jnp.isfinite(top_scores).sum().astype(jnp.int32)
+        else:
+            # cumsum+scatter compaction: slot j gets the j-th in-box point in
+            # index order — EXACT first-by-index (the CUDA kernel's
+            # semantics), and it replaces the k=512 approx_max_k whose
+            # aggregation pass made the pool stage the single biggest
+            # post-backbone cost (43 ms of the B=8 forward, train_stage_wall
+            # round 4). cnt counts ALL in-box points (not top-k-capped) —
+            # identical wrap behavior for cnt >= K since slot % cnt = slot.
+            cnt, top_idx = compact_select(in_box, num_sampled_points)
         slot = jnp.arange(num_sampled_points, dtype=jnp.int32)
         src = jnp.where(cnt > 0, slot % jnp.maximum(cnt, 1), 0)
         sel = top_idx[src]
