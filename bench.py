@@ -166,6 +166,41 @@ def main():
         "unit": "scans/s",
         "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC, 3),
     }))
+    _perf_gate("pointrcnn_inference_scans_per_sec_per_chip", BATCH, scans_per_sec)
+
+
+def _perf_gate(metric: str, batch: int, value: float, tolerance: float = 0.10):
+    """Perf regression gate (VERDICT r4 item 2 — the subsystem whose absence
+    let two consecutive end-of-round commits ship unbenched regressions).
+
+    Compares the measured number against the last ACCEPTED value in the
+    committed BENCH_BASELINE.json and exits nonzero on a >10% drop. The
+    metric line is printed BEFORE this runs so the evidence is recorded
+    either way. Skip during dev A/Bs with MODEST_BENCH_NO_PERF_GATE=1;
+    raise the baseline only together with a re-published BENCH.md row.
+    """
+    if os.environ.get("MODEST_BENCH_NO_PERF_GATE", "0") not in ("0", "", "false"):
+        return
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+    try:
+        with open(path) as f:
+            accepted = json.load(f).get(metric, {}).get(str(batch))
+    except (OSError, ValueError):
+        accepted = None
+    if accepted is None:
+        print(f"perf gate: no accepted baseline for {metric} @ batch={batch}; "
+              "skipping", file=sys.stderr)
+        return
+    floor = accepted * (1.0 - tolerance)
+    if value < floor:
+        print(f"PERF GATE FAILED: {value:.2f} scans/s is >{tolerance * 100:.0f}% "
+              f"below the last accepted {accepted:.2f} (floor {floor:.2f}) for "
+              f"batch={batch}. A device-path change regressed the flagship — "
+              "fix it or explicitly re-baseline BENCH_BASELINE.json together "
+              "with a BENCH.md entry explaining why.", file=sys.stderr)
+        sys.exit(1)
+    print(f"perf gate: {value:.2f} >= floor {floor:.2f} "
+          f"(accepted {accepted:.2f}) ok", file=sys.stderr)
 
 
 if __name__ == "__main__":
