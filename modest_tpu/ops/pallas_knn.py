@@ -234,7 +234,18 @@ def nearest_k(new_xyz, xyz, k: int, radius=None, *, dense_fn=None):
 
     Windowed Pallas kernel with certificate; falls back to ``dense_fn``
     (required) for the whole batch under lax.cond when coverage fails.
+
+    Shapes must satisfy knn_supported(): if n < 2w the window-start
+    jnp.clip(x, 0, n-w) has min>max and yields negative starts, so the
+    kernel would read out-of-range rows while the clamped-gather
+    certificate can still pass on garbage (ADVICE r4) — enforce here, not
+    in callers.
     """
+    if not knn_supported(new_xyz.shape[1], xyz.shape[1], k):
+        raise ValueError(
+            f"nearest_k: unsupported shapes m={new_xyz.shape[1]} "
+            f"n={xyz.shape[1]} k={k} (need m%{QC}==0, n%128==0, n>=2*window, "
+            f"k<=window//4); use the dense path instead")
     w = _pick_window(xyz.shape[1])
     td2, idx, ok = _prep_and_run(new_xyz, xyz, k, w, radius=radius)
     if dense_fn is None:

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import collections
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -273,8 +274,11 @@ class DeviceFrameCache:
     Bounded LRU: consecutive origin frames share most neighbors, so the
     working set is the sliding window (~tens of frames per traversal set);
     `max_frames` caps HBM at max_frames × m_pad × 13 B (512 × 131072 pts
-    ≈ 870 MB) and evicted buffers are deleted eagerly so a multi-thousand-
-    frame sweep runs in bounded device memory."""
+    ≈ 870 MB). Evicted buffers are NOT deleted eagerly: with the pipelined
+    CLI (2 origins in flight) another thread may still be stacking a frame
+    it fetched moments earlier, and an eager .delete() would raise
+    'Array has been deleted' mid-sweep — GC reclaims them once the last
+    in-flight dispatch drops its reference (ADVICE r4)."""
 
     def __init__(self, load_fn, m_pad: int | None = None, chunk: int = 8192,
                  max_frames: int = 512):
@@ -293,24 +297,28 @@ class DeviceFrameCache:
                 self._frames.move_to_end(gid)
                 return self._frames[gid]
         pts = np.asarray(self.load_fn(gid), np.float32)[:, :3]
-        if self.m_pad is None:
-            self.m_pad = max(self.chunk, 1 << (pts.shape[0] - 1).bit_length())
-        assert pts.shape[0] <= self.m_pad, (pts.shape, self.m_pad)
-        buf = np.zeros((self.m_pad, 3), np.float32)
+        # m_pad is chosen under the lock: with 2 pipeline threads loading
+        # different-sized first frames, a lock-free lazy init could cache
+        # buffers padded to DIFFERENT buckets and crash jnp.stack mid-sweep
+        # (ADVICE r4). All frames in one cache share one bucket.
+        with self._lock:
+            if self.m_pad is None:
+                self.m_pad = max(self.chunk, 1 << (pts.shape[0] - 1).bit_length())
+            m_pad = self.m_pad
+        assert pts.shape[0] <= m_pad, (pts.shape, m_pad)
+        buf = np.zeros((m_pad, 3), np.float32)
         buf[: pts.shape[0]] = pts
-        mask = np.zeros(self.m_pad, bool)
+        mask = np.zeros(m_pad, bool)
         mask[: pts.shape[0]] = True
         with self._lock:
             if gid in self._frames:  # raced: another thread filled it
                 self._frames.move_to_end(gid)
                 return self._frames[gid]
             while len(self._frames) >= self.max_frames:
-                _, (old_buf, old_mask) = self._frames.popitem(last=False)
-                for a in (old_buf, old_mask):
-                    try:
-                        a.delete()
-                    except Exception:
-                        pass
+                # evict the LRU entry; no eager .delete() — a concurrent
+                # pipeline thread may still hold/stack this frame (see class
+                # docstring)
+                self._frames.popitem(last=False)
             self._frames[gid] = (jax.device_put(buf), jax.device_put(mask))
             return self._frames[gid]
 
@@ -386,9 +394,53 @@ def pp_score_for_frame_cached(index: TraversalIndex, cache: DeviceFrameCache,
     return compute_ephe_score(np.asarray(counts)[:n]).astype(np.float32)
 
 
+# Quantized query upload (VERDICT r4 item 5): the ~1.1 MB f32 query cloud
+# costs ~56 ms/frame through the ~30 MB/s relay — 39% of the PP frame.
+# uint16 fixed-point at 1/128 m (offset = cloud min, dequantized to f32 on
+# device BEFORE any distance math) halves the bytes with ≤ 1/256 m per-axis
+# error — bounded and tested (tests/test_pp_score.py), and ~2.6% of the
+# r=0.3 m counting radius, far below the scan's own noise. NO bf16/low-
+# precision value ever enters the distance computation (the round-3
+# bf16-coordinate cancellation lesson): the error is a fixed, tiny
+# *coordinate perturbation*, not a catastrophic-cancellation amplifier.
+PP_Q16_RES = 128.0  # ticks per meter (uint16 spans 0..511.99 m)
+
+_PP_Q16_UPLOAD = os.environ.get("MODEST_PP_F32_UPLOAD", "0").lower() in (
+    "0", "", "false")
+
+
+def quantize_queries_u16(pts: np.ndarray, n_pad: int):
+    """(n, 3) f32 → (u16 (n_pad, 3), off (3,) f32) or None if out of range."""
+    off = pts.min(axis=0).astype(np.float32)
+    ticks = np.round((pts - off) * PP_Q16_RES)
+    if ticks.max() > 65535:  # >512 m span — never for a lidar frame
+        return None
+    q = np.zeros((n_pad, 3), np.uint16)
+    q[: pts.shape[0]] = ticks.astype(np.uint16)
+    return q, off
+
+
+@functools.partial(jax.jit, static_argnames=("t_count", "fmax", "interpret"))
+def _sorted_pool_counts_q16(q_u16, q_off, n_real, frames, fmask, rot, trans, r,
+                            t_count: int, fmax: int, interpret: bool = False):
+    """_sorted_pool_counts with a uint16 fixed-point query upload; rows
+    ≥ n_real become the +1e9 sort-to-the-end padding after dequantization."""
+    q = q_u16.astype(jnp.float32) * jnp.float32(1.0 / PP_Q16_RES) + q_off[None, :]
+    pad = jnp.arange(q.shape[0], dtype=jnp.int32)[:, None] >= n_real
+    q = jnp.where(pad, jnp.float32(1e9), q)
+    return _sorted_pool_counts_body(q, frames, fmask, rot, trans, r, t_count,
+                                    fmax, interpret)
+
+
 @functools.partial(jax.jit, static_argnames=("t_count", "fmax", "interpret"))
 def _sorted_pool_counts(q_pad, frames, fmask, rot, trans, r, t_count: int,
                         fmax: int, interpret: bool = False):
+    return _sorted_pool_counts_body(q_pad, frames, fmask, rot, trans, r,
+                                    t_count, fmax, interpret)
+
+
+def _sorted_pool_counts_body(q_pad, frames, fmask, rot, trans, r, t_count: int,
+                             fmax: int, interpret: bool = False):
     """Transform cached frames on device, build x-sorted per-traversal pools,
     run the windowed Pallas radius count. q_pad (Nq,3) with x=+1e9 padding;
     frames (T*fmax, Mp, 3) grouped by traversal; returns (Nq, t_count)."""
@@ -477,10 +529,20 @@ def pp_counts_cached_sorted(index: TraversalIndex, cache: DeviceFrameCache,
     from ..ops.pallas_radius_count import BN
 
     n_pad = max(BN, ((n + BN - 1) // BN) * BN)
-    q = np.full((n_pad, 3), 1e9, np.float32)
-    q[:n] = origin_ptc[:, :3]
-    counts = _sorted_pool_counts(
-        jnp.asarray(q), frames, fmask, rot, trans, np.float32(radius),
-        t_count=t_count, fmax=fmax, interpret=interpret,
-    )
+    quant = (quantize_queries_u16(origin_ptc[:, :3].astype(np.float32), n_pad)
+             if _PP_Q16_UPLOAD and jax.default_backend() != "cpu" else None)
+    if quant is not None:
+        qi, off = quant
+        counts = _sorted_pool_counts_q16(
+            jnp.asarray(qi), jnp.asarray(off), jnp.int32(n), frames, fmask,
+            rot, trans, np.float32(radius), t_count=t_count, fmax=fmax,
+            interpret=interpret,
+        )
+    else:
+        q = np.full((n_pad, 3), 1e9, np.float32)
+        q[:n] = origin_ptc[:, :3]
+        counts = _sorted_pool_counts(
+            jnp.asarray(q), frames, fmask, rot, trans, np.float32(radius),
+            t_count=t_count, fmax=fmax, interpret=interpret,
+        )
     return np.asarray(counts)[:n], n

@@ -54,17 +54,26 @@ def train_model(model, model_cfg, optimizer, state, loader, *, mesh=None,
         last_step = None  # (metrics pytree, scan index or None)
         pend = []  # (points, gt) awaiting a full steps_per_dispatch group
 
-        def do_log(metrics, idx=None):
+        def do_log(metrics, idx=None, it=None, spd_group=1):
+            # idx: scan index within a multi-step group (None = single step);
+            # it: the iteration number this line reports (defaults to group
+            # end n_it). Metrics are recorded at the step the scan index
+            # actually was (state.step - (spd-1-idx)), not the group-end
+            # step, so per-step curves don't collide when
+            # steps_per_dispatch > 1 (ADVICE r4). lr is read from the
+            # group-end opt_state — the schedule moved spd-1-idx steps past
+            # this point, a known approximation for intermediate lines.
             nonlocal last_metrics
             last_metrics = {
                 k: float(v if idx is None else v[idx]) for k, v in metrics.items()}
             lr = current_lr(state.opt_state)
+            step = int(state.step) - (0 if idx is None else spd_group - 1 - idx)
             log(
-                f"epoch {epoch} it {n_it}/{its_this_epoch} "
+                f"epoch {epoch} it {n_it if it is None else it}/{its_this_epoch} "
                 f"loss {last_metrics['loss']:.4f} lr {lr:.6f}"
             )
             if metrics_logger is not None:
-                metrics_logger.log(int(state.step), {**last_metrics, "lr": lr},
+                metrics_logger.log(step, {**last_metrics, "lr": lr},
                                    prefix="train/")
 
         def flush_pending():
@@ -98,7 +107,7 @@ def train_model(model, model_cfg, optimizer, state, loader, *, mesh=None,
                     pend.clear()
                     for j in range(lo + 1, n_it + 1):
                         if j % log_interval == 0:
-                            do_log(metrics, idx=j - lo - 1)
+                            do_log(metrics, idx=j - lo - 1, it=j, spd_group=spd)
             if n_it + len(pend) >= its_this_epoch:
                 flush_pending()
                 break

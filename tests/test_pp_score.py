@@ -85,6 +85,48 @@ def test_pp_score_end_to_end_synthetic(tmp_path, rng):
     assert car_score < 0.1  # only own traversal → near-zero entropy
 
 
+def test_q16_upload_bound_and_counts(rng):
+    """The uint16 fixed-point query upload (VERDICT r4 item 5): the
+    dequantized coordinates are within 1/(2·RES) per axis, and the sorted-
+    pool counts computed from them match the f32-upload counts except for
+    boundary flips within the quantization shell."""
+    import jax.numpy as jnp
+
+    from modest_tpu.ops.pallas_radius_count import BN
+
+    n = 1500
+    pts = rng.uniform(-60, 80, (n, 3)).astype(np.float32)
+    n_pad = ((n + BN - 1) // BN) * BN
+    qi, off = pp_score.quantize_queries_u16(pts, n_pad)
+    deq = qi[:n].astype(np.float32) / pp_score.PP_Q16_RES + off
+    assert np.abs(deq - pts).max() <= 0.5 / pp_score.PP_Q16_RES + 1e-5
+
+    # one traversal of frames; compare q16 vs f32 sorted-pool counts and the
+    # kdtree oracle (interpret mode runs the Pallas kernel on CPU)
+    radius = np.float32(0.3)
+    m_pad = 2048
+    fr = rng.uniform(-60, 80, (2, m_pad, 3)).astype(np.float32)
+    fmask = np.ones((2, m_pad), bool)
+    rot = np.tile(np.eye(3, dtype=np.float32), (2, 1, 1))
+    trans = np.zeros((2, 3), np.float32)
+
+    q32 = np.full((n_pad, 3), 1e9, np.float32)
+    q32[:n] = pts
+    want = np.asarray(pp_score._sorted_pool_counts(
+        jnp.asarray(q32), jnp.asarray(fr), jnp.asarray(fmask), jnp.asarray(rot),
+        jnp.asarray(trans), radius, t_count=1, fmax=2, interpret=True))[:n]
+    got = np.asarray(pp_score._sorted_pool_counts_q16(
+        jnp.asarray(qi), jnp.asarray(off), jnp.int32(n), jnp.asarray(fr),
+        jnp.asarray(fmask), jnp.asarray(rot), jnp.asarray(trans), radius,
+        t_count=1, fmax=2, interpret=True))[:n]
+
+    oracle = kdtree_counts(pts, [fr.reshape(-1, 3)], float(radius))
+    assert np.abs(want - oracle).max() <= 1
+    diff = np.abs(got - want)
+    assert diff.max() <= 2  # only quantization-shell boundary flips
+    assert (diff > 0).mean() < 0.01
+
+
 def test_cached_pp_score_matches_uncached(tmp_path, rng):
     """The device-frame-cache path computes the same entropies as the
     combined-cloud path."""
