@@ -117,6 +117,85 @@ FIT_METHODS = {
 }
 
 
+class FrameBins:
+    """2-D (x, z) bin index over a frame's points for box-local queries.
+
+    get_lowest_point_rect scans the FULL cloud once per cluster (K × N host
+    ops/frame — ~20 ms of the seed-gen box-fit stage at Lyft sizes). One
+    bin sort per frame + per-cluster gathers of only the bins overlapping
+    the box AABB replaces that with O(N log N + K × box_pts), bit-identical
+    results (the exact in-rect mask is re-evaluated on the candidates; the
+    AABB cover guarantees no in-rect point is outside them).
+    """
+
+    def __init__(self, pts_xz: np.ndarray, bin_size: float = 4.0):
+        self.bin_size = float(bin_size)
+        bx = np.floor(pts_xz[:, 0] / self.bin_size).astype(np.int64)
+        bz = np.floor(pts_xz[:, 1] / self.bin_size).astype(np.int64)
+        self.x0 = int(bx.min()) if len(bx) else 0
+        self.z0 = int(bz.min()) if len(bz) else 0
+        self.nx = int(bx.max()) - self.x0 + 1 if len(bx) else 1
+        self.nz = int(bz.max()) - self.z0 + 1 if len(bz) else 1
+        bid = (bx - self.x0) * self.nz + (bz - self.z0)
+        self.order = np.argsort(bid, kind="stable")
+        self.sorted_bid = bid[self.order]
+
+    def query_aabb(self, xlo, xhi, zlo, zhi) -> np.ndarray:
+        """Indices (original order not preserved) of all points whose bin
+        intersects the axis-aligned box [xlo, xhi] × [zlo, zhi]."""
+        bs = self.bin_size
+        bx_lo = max(int(np.floor(xlo / bs)) - self.x0, 0)
+        bx_hi = min(int(np.floor(xhi / bs)) - self.x0, self.nx - 1)
+        bz_lo = max(int(np.floor(zlo / bs)) - self.z0, 0)
+        bz_hi = min(int(np.floor(zhi / bs)) - self.z0, self.nz - 1)
+        if bx_lo > bx_hi or bz_lo > bz_hi:
+            return np.empty(0, np.int64)
+        rows = np.arange(bx_lo, bx_hi + 1, dtype=np.int64) * self.nz
+        lo = np.searchsorted(self.sorted_bid, rows + bz_lo, side="left")
+        hi = np.searchsorted(self.sorted_bid, rows + bz_hi, side="right")
+        if len(rows) == 1:
+            return self.order[lo[0] : hi[0]]
+        return np.concatenate(
+            [self.order[a:b] for a, b in zip(lo, hi) if b > a]
+            or [np.empty(0, np.int64)]
+        )
+
+
+def lowest_point_rect_binned(full_rect: np.ndarray, bins: FrameBins, full_max_y: float,
+                             xz_center, l, w, ry) -> float:
+    """get_lowest_point_rect via the frame's bin index — identical result."""
+    c, s = np.cos(ry), np.sin(ry)
+    hx = (abs(c) * l + abs(s) * w) / 2
+    hz = (abs(s) * l + abs(c) * w) / 2
+    idx = bins.query_aabb(xz_center[0] - hx, xz_center[0] + hx,
+                          xz_center[1] - hz, xz_center[1] + hz)
+    if idx.size == 0:
+        return full_max_y
+    sub = full_rect[idx]
+    u = (sub[:, 0] - xz_center[0]) * c - (sub[:, 2] - xz_center[1]) * s
+    v = (sub[:, 0] - xz_center[0]) * s + (sub[:, 2] - xz_center[1]) * c
+    mask = (u > -l / 2) & (u < l / 2) & (v > -w / 2) & (v < w / 2)
+    ys = sub[mask, 1]
+    return float(ys.max()) if ys.size else full_max_y
+
+
+def cluster_segments(labels: np.ndarray, n_clusters: int):
+    """One stable sort → per-cluster index arrays (original point order).
+
+    Replaces K boolean `labels == i` passes over the full frame (K × N host
+    ops) with one argsort + K slice-gathers. Returns {i: indices} for
+    i = 1..n_clusters (empty clusters omitted).
+    """
+    order = np.argsort(labels, kind="stable")
+    sorted_lab = labels[order]
+    bounds = np.searchsorted(sorted_lab, np.arange(1, n_clusters + 2))
+    return {
+        i: order[bounds[i - 1] : bounds[i]]
+        for i in range(1, n_clusters + 1)
+        if bounds[i] > bounds[i - 1]
+    }
+
+
 def get_lowest_point_rect(ptc: np.ndarray, xz_center, l, w, ry) -> float:
     """Max y (lowest point, camera coords) of the full cloud inside the
     fitted BEV rectangle (reference :278-290)."""
@@ -285,14 +364,18 @@ def closeness_angles_batched(clusters, delta=0.1, d0=1e-2):
     return [float(angles_np[int(np.argmax(scores[i]))]) for i in range(c_count)]
 
 
-def _obj_from_angle(cl2d, angle, cluster_rect, full_rect):
+def _obj_from_angle(cl2d, angle, cluster_rect, full_rect, bins=None,
+                    full_max_y=None):
     """Assemble the camera-frame box at a fixed scan angle (get_obj tail)."""
     corners, ry, area = _finalize(cl2d, angle)
     ry = -ry
     l = float(np.linalg.norm(corners[0] - corners[1]))
     w = float(np.linalg.norm(corners[0] - corners[-1]))
     c = (corners[0] + corners[2]) / 2
-    bottom = get_lowest_point_rect(full_rect, c, l, w, ry)
+    if bins is not None:
+        bottom = lowest_point_rect_binned(full_rect, bins, full_max_y, c, l, w, ry)
+    else:
+        bottom = get_lowest_point_rect(full_rect, c, l, w, ry)
     h = float(bottom - cluster_rect[:, 1].min())
     return types.SimpleNamespace(
         t=np.array([c[0], bottom, c[1]]), l=l, w=w, h=h, ry=float(ry),
@@ -320,23 +403,29 @@ def fit_objs_grouped(groups, fit_method="closeness_to_edge", delta=0.1, d0=1e-2)
     """
     import jax
 
-    metas = []  # (group_idx, cluster_id, (n_i, 2) points)
-    for g, (ptc_rect, labels, n_clusters) in enumerate(groups):
-        for i in range(1, n_clusters + 1):
-            cl = ptc_rect[labels == i][:, [0, 2]]
-            if cl.shape[0] > 0:
-                metas.append((g, i, cl))
+    # one stable sort per frame extracts every cluster (the old per-cluster
+    # `labels == i` masks cost K × N host ops/frame on this 1-core host)
+    seg_per_group = [cluster_segments(labels, n_clusters)
+                     for (_p, labels, n_clusters) in groups]
+    metas = []  # (group_idx, cluster_id, (n_i, 2) points, (n_i, 3) rect pts)
+    for g, (ptc_rect, _labels, _n) in enumerate(groups):
+        for i, idx in seg_per_group[g].items():
+            sub = ptc_rect[idx]
+            metas.append((g, i, sub[:, [0, 2]], sub))
     out = [[] for _ in groups]
     if not metas:
         return out
     if fit_method != "closeness_to_edge" or jax.default_backend() == "cpu":
-        for g, i, _ in metas:
-            ptc_rect, labels, _n = groups[g]
-            out[g].append((i, get_obj(ptc_rect[labels == i], ptc_rect, fit_method)))
+        for g, i, _cl, sub in metas:
+            out[g].append((i, get_obj(sub, groups[g][0], fit_method)))
         return out
 
-    angles = closeness_angles_batched([c for _, _, c in metas], delta, d0)
-    for (g, i, cl), angle in zip(metas, angles):
-        ptc_rect, labels, _n = groups[g]
-        out[g].append((i, _obj_from_angle(cl, angle, ptc_rect[labels == i], ptc_rect)))
+    bins_per_group = [FrameBins(p[:, [0, 2]]) for p, _l, _n in groups]
+    maxy_per_group = [float(p[:, 1].max()) if len(p) else 0.0
+                      for p, _l, _n in groups]
+    angles = closeness_angles_batched([c for _, _, c, _ in metas], delta, d0)
+    for (g, i, cl, sub), angle in zip(metas, angles):
+        out[g].append((i, _obj_from_angle(
+            cl, angle, sub, groups[g][0],
+            bins=bins_per_group[g], full_max_y=maxy_per_group[g])))
     return out

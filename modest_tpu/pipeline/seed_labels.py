@@ -35,6 +35,21 @@ def is_valid_cluster(ptc, pp_score, plane, min_points=10, max_volume=40, min_vol
     return True
 
 
+def _compact_ids(labels: np.ndarray) -> np.ndarray:
+    """np.unique(labels) + searchsorted(keys, labels) without the two
+    N·log N sorts: rank each present id through a lookup table over the
+    (tiny) id range. Identical output — each label maps to its rank among
+    the distinct values present."""
+    if labels.size == 0:
+        return labels.astype(np.int64)
+    lo = int(labels.min())
+    present = np.zeros(int(labels.max()) - lo + 1, bool)
+    shifted = labels - lo
+    present[shifted] = True
+    ranks = np.cumsum(present) - 1
+    return ranks[shifted]
+
+
 def filter_labels(ptc, pp_score, labels, min_points=10, max_volume=40, min_volume=0.5,
                   max_min_height=4, min_max_height=0, percentile=10,
                   min_percentile_pp_score=0.7) -> np.ndarray:
@@ -76,8 +91,7 @@ def filter_labels(ptc, pp_score, labels, min_points=10, max_volume=40, min_volum
         )
         kill = (labels >= 0) & invalid[np.clip(labels, 0, None)]
         labels[kill] = -1
-    keys = np.unique(labels)  # sorted; maps -1→0, clusters→1..K
-    return np.searchsorted(keys, labels)
+    return _compact_ids(labels)  # noise → 0 (when present), clusters → 1..K
 
 
 # ---------------------------------------------------------------------------
@@ -108,14 +122,14 @@ def _check_clustering_cfg(cfg):
 def _finish_frame(labels: np.ndarray, fit_results, cfg):
     """Volume-filter fitted boxes, zero out rejected clusters, compact ids."""
     objs = []
+    lut = np.arange(int(labels.max()) + 1, dtype=labels.dtype)
     for i, obj in fit_results:
         if cfg.filtering.min_volume < obj.volume < cfg.filtering.max_volume:
             objs.append(obj)
         else:
-            labels[labels == i] = 0
-    keys = np.unique(labels)
-    labels = np.searchsorted(keys, labels)
-    return labels, objs
+            lut[i] = 0  # one LUT pass replaces a labels==i scan per reject
+    labels = lut[labels]
+    return _compact_ids(labels), objs
 
 
 def generate_mask_for_frame(ptc: np.ndarray, pp_score: np.ndarray, calib, cfg):
