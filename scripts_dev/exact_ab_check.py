@@ -122,3 +122,43 @@ if score_deltas:
           f"p95 {np.percentile(score_deltas, 95):.4f}  max {np.max(score_deltas):.4f}")
     print(f"center |delta| (m): mean {np.mean(center_deltas):.4f}  "
           f"p95 {np.percentile(center_deltas, 95):.4f}")
+
+# ---------------------------------------------------------------------------
+# AP-level parity (VERDICT r4 item 7): the planted boxes ARE ground truth —
+# run the AP harness on both paths' detections and compare the metric the
+# north star is stated in (AP_BEV), not just box-level matching.
+# ---------------------------------------------------------------------------
+from modest_tpu.eval.kitti_eval import ap_from_lidar_annos  # noqa: E402
+
+gt_annos = []
+for pts, gt in batches:
+    for i in range(gt.shape[0]):
+        g = gt[i][gt[i, :, 7] > 0]
+        gt_annos.append({"name": np.array(["Dynamic"] * len(g)),
+                         "boxes_lidar": g[:, :7]})
+
+
+def to_annos(results):
+    annos = []
+    for ab, asc, av in results:
+        for i in range(ab.shape[0]):
+            B, S = ab[i][av[i]], asc[i][av[i]]
+            annos.append({"name": np.array(["Dynamic"] * len(B)),
+                          "boxes_lidar": B[:, :7], "score": S})
+    return annos
+
+
+_, ap_a = ap_from_lidar_annos(gt_annos, to_annos(approx), ["Dynamic"],
+                              iou_thresholds=(0.5, 0.7))
+_, ap_e = ap_from_lidar_annos(gt_annos, to_annos(exact), ["Dynamic"],
+                              iou_thresholds=(0.5, 0.7))
+worst = 0.0
+for k in ap_e:
+    d = ap_a[k] - ap_e[k]
+    worst = max(worst, -d)
+    print(f"AP parity {k}: exact {ap_e[k]:6.2f}  approx {ap_a[k]:6.2f}  "
+          f"delta {d:+.2f}")
+if worst > 1.5:
+    print(f"AP PARITY FAIL: approx path loses {worst:.2f} AP points vs exact")
+    sys.exit(1)
+print(f"AP parity ok (worst approx-vs-exact delta {worst:.2f} <= 1.5 AP pts)")
