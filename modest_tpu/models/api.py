@@ -22,7 +22,8 @@ def apply_train(model, model_cfg, variables, points, gt_boxes, rng):
     if model_cfg.NAME == "CaDDN":
         out, mut = model.apply(
             variables, points["images"], points["trans_lidar_to_cam"],
-            points["trans_cam_to_img"], gt_boxes, train=True, **kwargs)
+            points["trans_cam_to_img"], gt_boxes, train=True,
+            rngs={"dropout": rng}, **kwargs)  # ASPP dropout (DeepLab DDN)
         # depth/2D-box supervision rides along to caddn_loss
         if "depth_maps" in points:
             out["depth_maps"] = points["depth_maps"]

@@ -11,9 +11,11 @@ runs the standard anchor head.
 
 TPU notes: frustum sampling is 8 static corner gathers blended by weights —
 the `grid_sample` equivalent XLA fuses into the surrounding elementwise ops.
-The reference's DeepLabV3+ImageNet backbone is replaced by a compact
-stride-4 conv encoder (no pretrained weights are downloadable here); the
-depth-distribution, frustum and voxel machinery follow the paper exactly.
+Two image encoders: with cfg FFE.DDN.NAME=DDNDeepLabV3 the reference's full
+DeepLabV3+ResNet101 DDN (ddn_deeplabv3.py, weight-convertible via
+train/torch_convert); otherwise a compact stride-4 conv encoder for fast
+CPU training tests. The depth-distribution, frustum and voxel machinery
+follow the paper exactly either way.
 """
 from __future__ import annotations
 
@@ -141,12 +143,32 @@ class CaDDN(nn.Module):
         self._d_min = float(ffe.DISC_CFG.depth_min)
         self._d_max = float(ffe.DISC_CFG.depth_max)
         self._d_bins = int(ffe.DISC_CFG.num_bins)
-        self._img_stride = 4  # encoder downsampling
-        self.encoder = ImageEncoder(
-            channels=tuple(ffe.ENCODER_CHANNELS),
-            num_feats=int(ffe.NUM_FEATURES),
-            num_depth_bins=self._d_bins,
-        )
+        self._img_stride = 4  # encoder downsampling (DeepLab layer1 = 4 too)
+        ddn_cfg = ffe.get("DDN", None)
+        if ddn_cfg is not None and str(ddn_cfg.get("NAME")) == "DDNDeepLabV3":
+            # architecture-parity path: the reference's DeepLabV3 DDN
+            # (ddn_deeplabv3.py) + 1x1 CHANNEL_REDUCE (depth_ffn.py)
+            from .ddn_deeplabv3 import DDNDeepLabV3
+
+            self.ddn = DDNDeepLabV3(
+                num_classes=self._d_bins + 1,
+                backbone_name=str(ddn_cfg.get("BACKBONE_NAME", "ResNet101")),
+            )
+            cr = ffe.get("CHANNEL_REDUCE", {"out_channels": 64})
+            # BasicBlock2D = conv + BN + ReLU (model_utils/basic_block_2d.py)
+            self.channel_reduce = nn.Conv(
+                int(cr.get("out_channels", 64)), (1, 1),
+                use_bias=bool(cr.get("bias", False)), name="channel_reduce")
+            self.channel_reduce_bn = nn.BatchNorm(
+                momentum=0.9, epsilon=1e-5, name="channel_reduce_bn")
+            self.encoder = None
+        else:
+            self.ddn = None
+            self.encoder = ImageEncoder(
+                channels=tuple(ffe.ENCODER_CHANNELS),
+                num_feats=int(ffe.NUM_FEATURES),
+                num_depth_bins=self._d_bins,
+            )
         self.bev_collapse = nn.Dense(int(cfg.MAP_TO_BEV.NUM_BEV_FEATURES),
                                      name="bev_collapse")
         bb = cfg.BACKBONE_2D
@@ -175,7 +197,12 @@ class CaDDN(nn.Module):
         b = images.shape[0]
         d = self._d_bins
 
-        feats, depth_logits = self.encoder(images, train=train)
+        if self.ddn is not None:
+            feats256, depth_logits = self.ddn(images, train=train)
+            feats = nn.relu(self.channel_reduce_bn(
+                self.channel_reduce(feats256), use_running_average=not train))
+        else:
+            feats, depth_logits = self.encoder(images, train=train)
         hf, wf = feats.shape[1], feats.shape[2]
         depth_probs = jax.nn.softmax(depth_logits, axis=-1)[..., :d]
         # frustum features: outer product (paper eq. 1) → (B, H', W', D, C)

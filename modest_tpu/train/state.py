@@ -28,7 +28,8 @@ class TrainState(flax.struct.PyTreeNode):
 
 
 def create_train_state(model, optimizer, sample_batch, seed: int = 666) -> TrainState:
-    rngs = {"params": jax.random.PRNGKey(seed), "sampler": jax.random.PRNGKey(seed + 1)}
+    rngs = {"params": jax.random.PRNGKey(seed), "sampler": jax.random.PRNGKey(seed + 1),
+            "dropout": jax.random.PRNGKey(seed + 2)}  # ASPP dropout (CaDDN DeepLab)
     # dispatch on the MODEL (not the batch): a lidar model may legally train
     # on a dataset whose GET_ITEM_LIST also loads images
     is_camera = str(getattr(model, "model_cfg", {}).get("NAME", "")) == "CaDDN"

@@ -400,6 +400,105 @@ def convert_pointpillar_state(model_state, params, batch_stats):
     return params, batch_stats, report
 
 
+def _put_bn2d(ms, prefix, params, stats, base, report):
+    """torch BatchNorm2d tensors at `prefix.` → flax BatchNorm at base."""
+    report.used.update(k for k in ms if k.startswith(prefix + "."))
+    _put(params, base + ("scale",), ms[prefix + ".weight"], report, prefix)
+    _put(params, base + ("bias",), ms[prefix + ".bias"], report, prefix)
+    _put(stats, base + ("mean",), ms[prefix + ".running_mean"], report, prefix)
+    _put(stats, base + ("var",), ms[prefix + ".running_var"], report, prefix)
+
+
+def _put_conv2d(ms, key, params, base, report, bias=False):
+    report.used.add(key + ".weight")
+    _put(params, base + ("kernel",), _conv2d_kernel(ms[key + ".weight"]),
+         report, key)
+    if bias and key + ".bias" in ms:
+        report.used.add(key + ".bias")
+        _put(params, base + ("bias",), ms[key + ".bias"], report, key)
+
+
+def convert_caddn_ddn_state(model_state, params, batch_stats):
+    """DeepLabV3 DDN weights → CaDDN DeepLab-path params (models/
+    ddn_deeplabv3.py).
+
+    Accepts either a bare torchvision deeplabv3_resnet50/101 state dict
+    (``backbone.conv1.weight`` … — the checkpoint the reference downloads,
+    ddn_template.py:80-86) or a full pcdet CaDDN ``model_state``
+    (``vfe.ffn.ddn.model.`` prefix, plus ``vfe.ffn.channel_reduce``).
+    Non-DDN CaDDN tensors (map_to_bev / backbone_2d / dense_head) are left
+    to their init and listed in report.skipped_ref.
+    """
+    ms = {k: _np(v) for k, v in model_state.items()}
+    params = copy.deepcopy(_to_plain(params))
+    batch_stats = copy.deepcopy(_to_plain(batch_stats))
+    report = _Report()
+
+    pre = ("vfe.ffn.ddn.model."
+           if any(k.startswith("vfe.ffn.ddn.model.") for k in ms) else "")
+    P, S = params, batch_stats
+
+    def put_bb(torch_name, flax_path, bias=False):
+        _put_conv2d(ms, pre + torch_name, P, ("ddn",) + flax_path, report,
+                    bias=bias)
+
+    def put_bn(torch_name, flax_path):
+        _put_bn2d(ms, pre + torch_name, P, S, ("ddn",) + flax_path, report)
+
+    # stem
+    put_bb("backbone.conv1", ("conv1",))
+    put_bn("backbone.bn1", ("bn1",))
+    # bottleneck layers (torch backbone.layerL.B.* → flax ddn/layerL_B/*)
+    blocks = sorted({
+        (int(m.group(1)), int(m.group(2)))
+        for k in ms
+        if (m := re.match(re.escape(pre) + r"backbone\.layer(\d+)\.(\d+)\.", k))
+    })
+    for li, bi in blocks:
+        t = f"backbone.layer{li}.{bi}."
+        f = (f"layer{li}_{bi}",)
+        for c in ("conv1", "conv2", "conv3"):
+            put_bb(t + c, f + (c,))
+        for b in ("bn1", "bn2", "bn3"):
+            put_bn(t + b, f + (b,))
+        if pre + t + "downsample.0.weight" in ms:
+            put_bb(t + "downsample.0", f + ("down_conv",))
+            put_bn(t + "downsample.1", f + ("down_bn",))
+    # ASPP: classifier.0.convs.{0..3} = (conv, bn); convs.4 = pooling branch
+    # (pool, conv, bn); project = (conv, bn)
+    for i in range(4):
+        put_bb(f"classifier.0.convs.{i}.0", ("aspp", f"conv{i}"))
+        put_bn(f"classifier.0.convs.{i}.1", ("aspp", f"bn{i}"))
+    put_bb("classifier.0.convs.4.1", ("aspp", "conv_pool"))
+    put_bn("classifier.0.convs.4.2", ("aspp", "bn_pool"))
+    put_bb("classifier.0.project.0", ("aspp", "project"))
+    put_bn("classifier.0.project.1", ("aspp", "bn_project"))
+    # head tail: classifier.1 conv3x3, classifier.2 bn, classifier.4 1x1+bias
+    put_bb("classifier.1", ("head_conv",))
+    put_bn("classifier.2", ("head_bn",))
+    if pre + "classifier.4.weight" in ms:
+        want = np.asarray(_get(P, ("ddn", "head_cls", "kernel"))).shape
+        have = ms[pre + "classifier.4.weight"].shape[0]
+        if want[-1] == have:
+            put_bb("classifier.4", ("head_cls",), bias=True)
+        # else: class-count mismatch — the reference's filter_pretrained_dict
+        # drops this layer too (ddn_template.py:110-116)
+    if pre and pre.startswith("vfe."):
+        _put_conv2d(ms, "vfe.ffn.channel_reduce.conv", P, ("channel_reduce",),
+                    report)
+        _put_bn2d(ms, "vfe.ffn.channel_reduce.bn", P, S,
+                  ("channel_reduce_bn",), report)
+    report.skipped_ref = _unused(ms, report)
+    return params, batch_stats, report
+
+
+def _get(tree, path):
+    node = tree
+    for p in path:
+        node = node[p]
+    return node
+
+
 def convert_torch_state(model_state, params, batch_stats):
     """Detect the checkpoint's model family and convert."""
     keys = list(model_state)
@@ -409,9 +508,12 @@ def convert_torch_state(model_state, params, batch_stats):
         return convert_pointpillar_state(model_state, params, batch_stats)
     if any(k.startswith("backbone_3d.conv_input") for k in keys):
         return convert_second_state(model_state, params, batch_stats)
+    if any(k.startswith("vfe.ffn.ddn.") or k.startswith("backbone.conv1")
+           for k in keys):
+        return convert_caddn_ddn_state(model_state, params, batch_stats)
     raise NotImplementedError(
         "unrecognized reference checkpoint family; supported: PointRCNN, "
-        f"PointPillar, SECOND (got keys like {keys[:3]})")
+        f"PointPillar, SECOND, CaDDN/DeepLabV3-DDN (got keys like {keys[:3]})")
 
 
 def load_reference_pth(path, state):

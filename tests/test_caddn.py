@@ -115,3 +115,57 @@ def test_caddn_forward_backward(rng):
     # eval: decoded boxes exist and are finite
     out_e = model.apply(variables, images, l2c_b, c2i_b, train=False)
     assert np.isfinite(np.asarray(out_e["batch_box_preds"])).all()
+
+
+def test_caddn_deeplab_path_forward_backward(rng):
+    """The DeepLabV3 DDN path (FFE.DDN.NAME=DDNDeepLabV3, VERDICT r4 item
+    9): full train forward + loss + grads through the ResNet/ASPP stack,
+    and an eval forward. ResNet50 keeps the CPU runtime sane; the layer
+    wiring is identical to ResNet101 (block counts only)."""
+    from modest_tpu.models import caddn as cd
+    from tests.test_grid_detectors import _toy_batch
+
+    cfg = caddn_model_cfg()
+    cfg.FFE.DDN = Config({"NAME": "DDNDeepLabV3", "BACKBONE_NAME": "ResNet50",
+                          "FEAT_EXTRACT_LAYER": "layer1"})
+    cfg.FFE.CHANNEL_REDUCE = Config({"in_channels": 256, "out_channels": 16,
+                                     "bias": False})
+    cfg.FFE.NUM_FEATURES = 16
+    pcr = [0, -8, -3, 16, 8, 1]
+    vs, gs = [0.5, 0.5, 0.5], (32, 32, 8)
+    model = cd.CaDDN(model_cfg=cfg, num_class=1, point_cloud_range=pcr,
+                     voxel_size=vs, grid_size=gs)
+    b, h, w = 1, 32, 64
+    images = jnp.asarray(rng.rand(b, h, w, 3), jnp.float32)
+    l2c = np.array([[0.0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0], [0, 0, 0, 1]],
+                   np.float32)
+    c2i = np.array([[40.0, 0, w / 2, 0], [0, 40.0, h / 2, 0], [0, 0, 1, 0]],
+                   np.float32)
+    l2c_b = jnp.asarray(np.tile(l2c, (b, 1, 1)))
+    c2i_b = jnp.asarray(np.tile(c2i, (b, 1, 1)))
+    _, gt = _toy_batch(rng, (16 / 3, -8 / 3))
+    gt = gt[:b]
+    depth_maps = jnp.asarray(rng.uniform(0, 20, (b, h, w)), jnp.float32)
+
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, images, l2c_b, c2i_b, gt, train=True)
+    assert "ddn" in variables["params"], list(variables["params"])
+
+    def loss_fn(params):
+        o, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            images, l2c_b, c2i_b, gt, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(2)})
+        return cd.caddn_loss(o, gt, cfg, depth_maps=depth_maps)[0]
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_flatten_with_path(grads)[0]
+    ddn_leaves = [np.asarray(g) for p, g in leaves
+                  if jax.tree_util.keystr(p).startswith("['ddn']")]
+    assert ddn_leaves and all(np.isfinite(g).all() for g in ddn_leaves)
+    assert any(np.abs(g).max() > 0 for g in ddn_leaves), \
+        "no gradient reached the DeepLab DDN"
+
+    out_e = model.apply(variables, images, l2c_b, c2i_b, train=False)
+    assert np.isfinite(np.asarray(out_e["batch_box_preds"])).all()

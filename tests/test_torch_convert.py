@@ -530,3 +530,151 @@ def test_second_spconv2_layout_detection(rng):
     np.testing.assert_array_equal(
         np.asarray(p1["backbone_3d"]["conv_out"]["kernel"]),
         np.asarray(p2["backbone_3d"]["conv_out"]["kernel"]))
+
+
+# ---------------------------------------------------------------------------
+# CaDDN DeepLabV3 DDN (VERDICT r4 item 9): hand-built torch oracle with
+# torchvision deeplabv3_resnet* module naming (torchvision itself is not in
+# the image) → convert_caddn_ddn_state → forward equality in eval mode.
+# ---------------------------------------------------------------------------
+
+
+def _build_torch_ddn(num_classes: int, blocks=(3, 4, 6, 3)):
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    class Bottleneck(nn.Module):
+        def __init__(self, inplanes, planes, stride=1, dilation=1,
+                     has_down=False):
+            super().__init__()
+            self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride,
+                                   padding=dilation, dilation=dilation,
+                                   bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(planes * 4)
+            self.downsample = nn.Sequential(
+                nn.Conv2d(inplanes, planes * 4, 1, stride=stride, bias=False),
+                nn.BatchNorm2d(planes * 4)) if has_down else None
+
+        def forward(self, x):
+            idt = x if self.downsample is None else self.downsample(x)
+            y = F.relu(self.bn1(self.conv1(x)))
+            y = F.relu(self.bn2(self.conv2(y)))
+            y = self.bn3(self.conv3(y))
+            return F.relu(y + idt)
+
+    class Backbone(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+            inp = 64
+            strides, dil = (1, 2, 1, 1), (1, 1, 2, 4)
+            for li, (n, w) in enumerate(zip(blocks, (64, 128, 256, 512))):
+                layers = []
+                for bi in range(n):
+                    d0 = dil[li - 1] if li > 0 else 1
+                    layers.append(Bottleneck(
+                        inp, w, stride=strides[li] if bi == 0 else 1,
+                        dilation=d0 if bi == 0 else dil[li], has_down=bi == 0))
+                    inp = w * 4
+                setattr(self, f"layer{li + 1}", nn.Sequential(*layers))
+
+        def forward(self, x):
+            x = F.relu(self.bn1(self.conv1(x)))
+            x = self.maxpool(x)
+            feats = self.layer1(x)
+            out = self.layer4(self.layer3(self.layer2(feats)))
+            return feats, out
+
+    class ASPP(nn.Module):
+        def __init__(self, in_ch=2048, out=256, rates=(12, 24, 36)):
+            super().__init__()
+            mods = [nn.Sequential(nn.Conv2d(in_ch, out, 1, bias=False),
+                                  nn.BatchNorm2d(out), nn.ReLU())]
+            for r in rates:
+                mods.append(nn.Sequential(
+                    nn.Conv2d(in_ch, out, 3, padding=r, dilation=r, bias=False),
+                    nn.BatchNorm2d(out), nn.ReLU()))
+            mods.append(nn.Sequential(
+                nn.AdaptiveAvgPool2d(1), nn.Conv2d(in_ch, out, 1, bias=False),
+                nn.BatchNorm2d(out), nn.ReLU()))
+            self.convs = nn.ModuleList(mods)
+            self.project = nn.Sequential(
+                nn.Conv2d(5 * out, out, 1, bias=False), nn.BatchNorm2d(out),
+                nn.ReLU(), nn.Dropout(0.5))
+
+        def forward(self, x):
+            res = []
+            for i, conv in enumerate(self.convs):
+                y = conv(x)
+                if i == 4:
+                    y = F.interpolate(y, size=x.shape[-2:], mode="bilinear",
+                                      align_corners=False)
+                res.append(y)
+            return self.project(torch.cat(res, dim=1))
+
+    class DDN(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = Backbone()
+            self.classifier = nn.Sequential(
+                ASPP(), nn.Conv2d(256, 256, 3, padding=1, bias=False),
+                nn.BatchNorm2d(256), nn.ReLU(), nn.Conv2d(256, num_classes, 1))
+
+        def forward(self, x):
+            feats, out = self.backbone(x)
+            logits = self.classifier(out)
+            logits = F.interpolate(logits, size=feats.shape[-2:],
+                                   mode="bilinear", align_corners=False)
+            return feats, logits
+
+    model = DDN().eval()
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.3, 0.3)
+                m.running_var.uniform_(0.5, 1.5)
+    return model
+
+
+def test_caddn_ddn_deeplabv3_convert_forward_parity():
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from modest_tpu.models.ddn_deeplabv3 import DDNDeepLabV3
+    from modest_tpu.train.torch_convert import convert_caddn_ddn_state
+
+    torch.manual_seed(5)
+    num_classes = 17
+    tm = _build_torch_ddn(num_classes, blocks=(3, 4, 6, 3))
+
+    ours = DDNDeepLabV3(num_classes=num_classes, backbone_name="ResNet50")
+    rng = np.random.RandomState(0)
+    img = rng.rand(1, 64, 96, 3).astype(np.float32)
+    var = ours.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(img),
+                    train=False)
+
+    params, stats, report = convert_caddn_ddn_state(
+        tm.state_dict(), {"ddn": var["params"]},
+        {"ddn": var["batch_stats"]})
+    assert not report.skipped_ref, report.skipped_ref[:8]
+    assert len(report.converted) > 250
+
+    feats, logits = ours.apply(
+        {"params": params["ddn"], "batch_stats": stats["ddn"]},
+        jnp.asarray(img), train=False)
+    with torch.no_grad():
+        tf, tl = tm(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(feats),
+                               tf.numpy().transpose(0, 2, 3, 1),
+                               rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(logits),
+                               tl.numpy().transpose(0, 2, 3, 1),
+                               rtol=1e-3, atol=2e-4)
