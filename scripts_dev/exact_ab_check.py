@@ -31,6 +31,10 @@ from modest_tpu.utils.config import cfg_from_yaml_file
 parser = argparse.ArgumentParser()
 parser.add_argument("--scenes", type=int, default=100)
 parser.add_argument("--batch", type=int, default=4)
+parser.add_argument("--train-steps", type=int, default=0,
+                    help="train this many steps first so the AP-parity rows "
+                         "compare MEANINGFUL detections (random init scores "
+                         "~0 AP on both paths, which is vacuous)")
 args = parser.parse_args()
 
 cfg = cfg_from_yaml_file("configs/models/lyft_models/pointrcnn_dynamic_obj.yaml")
@@ -67,6 +71,25 @@ variables = model.init(
     {"params": jax.random.PRNGKey(0), "sampler": jax.random.PRNGKey(1)},
     jnp.asarray(batches[0][0]), jnp.asarray(batches[0][1]), train=True,
 )
+
+if args.train_steps > 0:
+    import optax
+
+    from modest_tpu.train.state import create_train_state, make_train_step
+
+    tx = optax.adam(2e-3)
+    state = create_train_state(
+        model, tx, {"points": batches[0][0], "gt_boxes": batches[0][1]})
+    step = make_train_step(model, cfg.MODEL, tx)
+    key = jax.random.PRNGKey(11)
+    t0 = time.perf_counter()
+    for it in range(args.train_steps):
+        pts, gt = batches[it % len(batches)]
+        state, metrics = step(state, jnp.asarray(pts), jnp.asarray(gt), key)
+    loss = float(metrics["loss"])
+    print(f"pre-trained {args.train_steps} steps in "
+          f"{time.perf_counter() - t0:.0f}s (loss {loss:.3f})", flush=True)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
 
 
 def run_all(tag):
