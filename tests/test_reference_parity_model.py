@@ -35,10 +35,11 @@ def _synth_scene(rng, n=N_PTS):
     pts[:, 0] *= 70.0
     pts[:, 1] = (pts[:, 1] - 0.5) * 80
     pts[:, 2] = (pts[:, 2] - 0.5) * 3 - 0.5
+    per = max(n // 24, 100)  # cluster size scales with the scene
     for k in range(8):
         c = rng.uniform([5, -30, -1.6], [60, 30, -1.4])
-        sl = slice(k * 250, (k + 1) * 250)
-        pts[sl, :3] = c + rng.uniform(-1, 1, (250, 3)) * [2, 0.9, 0.7]
+        sl = slice(k * per, (k + 1) * per)
+        pts[sl, :3] = c + rng.uniform(-1, 1, (per, 3)) * [2, 0.9, 0.7]
     return pts
 
 
@@ -217,3 +218,39 @@ def test_full_model_final_boxes_match(ref_model, ours):
     assert total > 200, "too few detections — test is vacuous"
     assert matched / total >= 0.99, (
         f"only {matched}/{total} detections match the reference's")
+
+
+def test_full_model_final_boxes_match_production_shape(ref_model, ours):
+    """Same claim at the flagship's PRODUCTION operating point — 12288
+    pts/scan (tools/cfgs/lyft_models/pointrcnn_dynamic_obj.yaml
+    NUM_POINTS / bench.py) — so the parity evidence covers the shapes the
+    published checkpoints actually run at (VERDICT r4 item 7). Fewer
+    scenes than the 6144-pt test: the torch-CPU reference forward is ~4×
+    slower at this size."""
+    rng = np.random.RandomState(11)
+    n = 12288
+    scenes = [_synth_scene(rng, n=n) for _ in range(4)]
+
+    total = matched = 0
+    for s0 in range(0, len(scenes), 2):
+        pair = scenes[s0:s0 + 2]
+        ref_preds = _ref_forward(ref_model, pair)
+        final = ours.infer(np.stack(pair))
+        for i, rp in enumerate(ref_preds):
+            valid = np.asarray(final["valid"][i])
+            boxes = np.asarray(final["boxes"][i])[valid]
+            scores = np.asarray(final["scores"][i])[valid]
+            labels = np.asarray(final["labels"][i])[valid]
+            rb, rs, rl = rp["pred_boxes"], rp["pred_scores"], rp["pred_labels"]
+            assert abs(len(boxes) - len(rb)) <= 2, (
+                f"scene {s0 + i}: {len(boxes)} vs ref {len(rb)} detections")
+            pairs = _match_1to1(boxes, scores, rb, rs)
+            for a, j in pairs:
+                dyaw = abs(float(boxes[a, 6]) - float(rb[j, 6])) % (2 * np.pi)
+                assert min(dyaw, 2 * np.pi - dyaw) < 2e-3
+                assert labels[a] == rl[j]
+            matched += len(pairs)
+            total += max(len(rb), len(boxes))
+    assert total > 80, "too few detections — test is vacuous"
+    assert matched / total >= 0.98, (
+        f"only {matched}/{total} detections match the reference's at 12288 pts")
