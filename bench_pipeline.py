@@ -134,8 +134,15 @@ def bench_seed_gen(rng, frames=3):
         pp[:60000] = 0.85  # ground persistent
         pp[60000:60000 + 12 * 800] = 0.05  # objects ephemeral
         clouds.append((ptc, pp))
-    # warm (compilation buckets)
-    generate_mask_for_frame(*clouds[0], calib, cfg)
+    # warm EVERY frame's (n_pad, window, cluster-count) program bucket, not
+    # just frame 0's: each distinct bucket pays a one-time in-process
+    # compile-cache load (~1.2 s on this host), which the real multi-
+    # thousand-frame CLI amortizes to noise but a 3-frame timed loop does
+    # not — round-5 mega runs read 0.5 scans/s with 1.75 s/frame of pure
+    # first-touch cost (stage sum: 233 ms). Steady state is the honest CLI
+    # rate; the bucket sets are bounded by design (4/octave n_pad, pow2 w).
+    for ptc, pp in clouds:
+        generate_mask_for_frame(ptc, pp, calib, cfg)
     t0 = time.perf_counter()
     n_boxes = 0
     for ptc, pp in clouds:
@@ -160,7 +167,8 @@ def bench_seed_gen(rng, frames=3):
     group = 4
     many = clouds * ((4 * group + len(clouds) - 1) // len(clouds))
     gs = [many[s : s + group] for s in range(0, len(many), group)]
-    generate_masks_for_frames(gs[0], [calib] * len(gs[0]), cfg)  # warm/compile
+    for g in gs:  # warm every group composition's buckets (see above)
+        generate_masks_for_frames(g, [calib] * len(g), cfg)
     with cf.ThreadPoolExecutor(3) as pool:
         t0 = time.perf_counter()
         futs = [pool.submit(generate_masks_for_frames, g, [calib] * len(g), cfg)
