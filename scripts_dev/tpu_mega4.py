@@ -38,7 +38,7 @@ try:
 finally:
     sys.argv = _SAVED_ARGV
 
-STEPS = sys.argv[1:] or ["1", "2", "3", "4"]
+STEPS = sys.argv[1:] or ["1", "2", "3", "4", "5"]
 _CANARIED = []
 
 
@@ -154,6 +154,56 @@ def headline_b4():
             import tpu_mega2  # noqa: F401
     finally:
         sys.argv = saved
+
+
+@step("5")
+def pp_q16_pipelined():
+    """The CLI's operating point: 2 origins in flight on the q16 upload
+    path (pre_compute_pp_score pipeline_workers=2 + uint16 transport)."""
+    import concurrent.futures as cf
+
+    import bench_pipeline as bp
+    from modest_tpu.ops.pallas_radius_count import BN
+    from modest_tpu.pipeline import pp_score as pp
+
+    rng = np.random.RandomState(0)
+    traversals, fpt = 5, 8
+    n0 = bp.synth_frame(rng).shape[0]
+    m_pad = 1 << (n0 - 1).bit_length()
+    frames = np.zeros((traversals * fpt, m_pad, 3), np.float32)
+    fmask = np.zeros((traversals * fpt, m_pad), bool)
+    for i in range(traversals * fpt):
+        p = bp.synth_frame(rng)
+        frames[i, : len(p)] = p
+        fmask[i, : len(p)] = True
+    frames_d = jax.device_put(frames)
+    fmask_d = jax.device_put(fmask)
+    rot = jnp.asarray(np.tile(np.eye(3, dtype=np.float32),
+                              (traversals * fpt, 1, 1)))
+    trans = jnp.asarray(rng.randn(traversals * fpt, 3).astype(np.float32) * 0.1)
+    r = np.float32(0.3)
+    origins = [bp.synth_frame(rng) for _ in range(6)]
+
+    def run_q16(o):
+        n = len(o)
+        n_pad = ((n + BN - 1) // BN) * BN
+        qi, off = pp.quantize_queries_u16(o.astype(np.float32), n_pad)
+        c = pp._sorted_pool_counts_q16(
+            jnp.asarray(qi), jnp.asarray(off), jnp.int32(n), frames_d,
+            fmask_d, rot, trans, r, t_count=traversals, fmax=fpt)
+        return pp.compute_ephe_score(np.asarray(c)[:n])
+
+    run_q16(origins[0])  # compile/warm
+    many = origins * 3
+    with cf.ThreadPoolExecutor(2) as pool:
+        t0 = time.perf_counter()
+        list(pool.map(run_q16, many))
+        dt = time.perf_counter() - t0
+    print("MEGA4: " + json.dumps({
+        "metric": "pp_score_q16_pipelined_scans_per_sec",
+        "value": round(len(many) / dt, 3), "unit": "scans/s",
+        "detail": "uint16 query upload + entropy, 2 origins in flight"}),
+        flush=True)
 
 
 if __name__ == "__main__":
