@@ -40,6 +40,20 @@ _EXACT_OPS = os.environ.get("MODEST_EXACT_OPS", "0").lower() not in ("0", "", "f
 # slower end-to-end on TPU round 4 — see roipoint_pool3d). Default OFF.
 _POOL_COMPACT = os.environ.get("MODEST_POOL_COMPACT", "0").lower() not in ("0", "", "false")
 
+# Opt-in experiment: x-windowed RoI pool — select in-box points from a
+# W-wide x-sorted candidate window per box instead of all N points (the
+# k=512 selection over N=12288 is the pool stage's dominant cost). Same
+# approximation class as the default path (an arbitrary in-box subset;
+# boxes whose x-range holds >W points may under-fill). 0 = off.
+_POOL_WINDOW = int(os.environ.get("MODEST_POOL_WINDOW", "0") or 0)
+
+
+def set_pool_window(w: int) -> None:
+    """Set the windowed-pool width (0 = dense default); drops jit caches."""
+    global _POOL_WINDOW
+    _POOL_WINDOW = int(w)
+    jax.clear_caches()
+
 
 def exact_ops() -> bool:
     return _EXACT_OPS
@@ -323,6 +337,11 @@ def roipoint_pool3d(points, point_features, boxes3d, num_sampled_points: int = 5
     ex = jnp.asarray(pool_extra_width, jnp.float32)
     big = boxes3d.at[..., 3:6].add(ex)
 
+    if (_POOL_WINDOW and 0 < _POOL_WINDOW < points.shape[1]
+            and jax.default_backend() != "cpu" and not _EXACT_OPS):
+        return _roipoint_pool3d_windowed(
+            points, point_features, big, num_sampled_points, _POOL_WINDOW)
+
     def per_box(pts, feats, box):
         shift = pts - box[0:3]
         c, s = jnp.cos(-box[6]), jnp.sin(-box[6])
@@ -364,6 +383,61 @@ def roipoint_pool3d(points, point_features, boxes3d, num_sampled_points: int = 5
     return jax.vmap(  # over batch
         lambda pts, feats, boxes: jax.vmap(lambda b: per_box(pts, feats, b))(boxes)
     )(points, point_features, big)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w"))
+def _roipoint_pool3d_windowed(points, point_features, boxes, k: int, w: int):
+    """roipoint_pool3d over a W-wide x-sorted candidate window per box.
+
+    The selection (index-rank top-k, k=512) runs over W candidates instead
+    of all N — the axis-aligned x-extent of the (rotated, enlarged) box
+    bounds every in-box point, so a window centered on the box's x-rank
+    span contains all of them whenever the span holds ≤ W points; denser
+    spans under-fill the pool (still only true in-box points — the same
+    approximation class as approx_max_k's 0.95 recall). Validated vs the
+    dense path by tests/test_pool_window.py + the bench quality gate.
+    """
+    b, n, _ = points.shape
+    order = jnp.argsort(points[..., 0], axis=-1).astype(jnp.int32)
+    sp = jnp.take_along_axis(points, order[..., None], axis=1)  # (B, N, 3)
+    sf = jnp.take_along_axis(point_features, order[..., None], axis=1)
+    sx = sp[..., 0]
+
+    def per_scene(spts, sfeat, sxs, boxes_s):
+        def per_box(box):
+            c_, s_ = jnp.cos(box[6]), jnp.sin(box[6])
+            hx = (jnp.abs(c_) * box[3] + jnp.abs(s_) * box[4]) * 0.5
+            lo = jnp.searchsorted(sxs, box[0] - hx)
+            hi = jnp.searchsorted(sxs, box[0] + hx, side="right")
+            start = jnp.clip((lo + hi - w) // 2, 0, n - w).astype(jnp.int32)
+            cpts = jax.lax.dynamic_slice(spts, (start, 0), (w, 3))
+            shift = cpts - box[0:3]
+            cc, ss = jnp.cos(-box[6]), jnp.sin(-box[6])
+            lx = shift[:, 0] * cc - shift[:, 1] * ss
+            ly = shift[:, 0] * ss + shift[:, 1] * cc
+            in_box = (
+                (jnp.abs(shift[:, 2]) <= box[5] / 2)
+                & (jnp.abs(lx) <= box[3] / 2)
+                & (jnp.abs(ly) <= box[4] / 2)
+            )
+            col = jnp.arange(w, dtype=jnp.int32)
+            score = jnp.where(in_box, -col.astype(jnp.float32), -jnp.inf)
+            top_scores, top_idx = _fast_top_k(score, k)
+            cnt = jnp.isfinite(top_scores).sum().astype(jnp.int32)
+            slot = jnp.arange(k, dtype=jnp.int32)
+            src = jnp.where(cnt > 0, slot % jnp.maximum(cnt, 1), 0)
+            sel_local = top_idx[src]
+            sel = start + sel_local  # sorted-domain row
+            if _EXACT_OPS or sfeat.dtype != jnp.float32:
+                fsel = sfeat[sel]
+            else:
+                fsel = sfeat.astype(jnp.bfloat16)[sel].astype(jnp.float32)
+            pooled = jnp.concatenate([cpts[sel_local], fsel], axis=-1)
+            return pooled, (cnt == 0).astype(jnp.int32)
+
+        return jax.vmap(per_box)(boxes_s)
+
+    return jax.vmap(per_scene)(sp, sf, sx, boxes)
 
 
 def nearest_topk(d2, k: int):
