@@ -678,3 +678,74 @@ def test_caddn_ddn_deeplabv3_convert_forward_parity():
     np.testing.assert_allclose(np.asarray(logits),
                                tl.numpy().transpose(0, 2, 3, 1),
                                rtol=1e-3, atol=2e-4)
+
+
+def test_caddn_ddn_pcdet_prefixed_state_converts():
+    """A full pcdet CaDDN model_state (vfe.ffn.ddn.model.* + channel_reduce)
+    maps into the CaDDN DeepLab-path trees, including CHANNEL_REDUCE."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from modest_tpu.models import caddn as cd
+    from modest_tpu.train.torch_convert import convert_caddn_ddn_state
+    from modest_tpu.utils.config import Config
+
+    torch.manual_seed(3)
+    num_bins = 16
+    tm = _build_torch_ddn(num_bins + 1, blocks=(3, 4, 6, 3))
+    reduce_conv = torch.nn.Conv2d(256, 16, 1, bias=False)
+    reduce_bn = torch.nn.BatchNorm2d(16)
+    with torch.no_grad():
+        reduce_bn.running_mean.uniform_(-0.2, 0.2)
+        reduce_bn.running_var.uniform_(0.6, 1.4)
+    state = {f"vfe.ffn.ddn.model.{k}": v for k, v in tm.state_dict().items()}
+    state.update({f"vfe.ffn.channel_reduce.conv.{k}": v
+                  for k, v in reduce_conv.state_dict().items()})
+    state.update({f"vfe.ffn.channel_reduce.bn.{k}": v
+                  for k, v in reduce_bn.state_dict().items()})
+    state["dense_head.conv_cls.weight"] = torch.zeros(2, 2, 1, 1)  # unmapped
+
+    from tests.test_caddn import caddn_model_cfg
+
+    cfg = caddn_model_cfg()
+    cfg.FFE.DDN = Config({"NAME": "DDNDeepLabV3", "BACKBONE_NAME": "ResNet50"})
+    cfg.FFE.CHANNEL_REDUCE = Config({"in_channels": 256, "out_channels": 16,
+                                     "bias": False})
+    cfg.FFE.NUM_FEATURES = 16
+    cfg.FFE.DISC_CFG.num_bins = num_bins
+    model = cd.CaDDN(model_cfg=cfg, num_class=1,
+                     point_cloud_range=[0, -8, -3, 16, 8, 1],
+                     voxel_size=[0.5, 0.5, 0.5], grid_size=(32, 32, 8))
+    rng = np.random.RandomState(0)
+    b, h, w = 1, 32, 64
+    images = jnp.asarray(rng.rand(b, h, w, 3), jnp.float32)
+    l2c = jnp.asarray(np.tile(np.array(
+        [[0.0, -1, 0, 0], [0, 0, -1, 0], [1, 0, 0, 0], [0, 0, 0, 1]],
+        np.float32), (b, 1, 1)))
+    c2i = jnp.asarray(np.tile(np.array(
+        [[40.0, 0, w / 2, 0], [0, 40.0, h / 2, 0], [0, 0, 1, 0]],
+        np.float32), (b, 1, 1)))
+    gt = np.zeros((b, 2, 8), np.float32)
+    gt[:, 0, :7] = [5, 0, -1, 4, 2, 1.5, 0.2]
+    gt[:, 0, 7] = 1
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        images, l2c, c2i, jnp.asarray(gt), train=True)
+
+    params, stats, report = convert_caddn_ddn_state(
+        state, variables["params"], variables["batch_stats"])
+    assert len(report.converted) > 250
+    # channel_reduce conv + bn landed
+    np.testing.assert_allclose(
+        np.asarray(params["channel_reduce"]["kernel"]).reshape(256, 16),
+        reduce_conv.weight.detach().numpy().reshape(16, 256).T, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(stats["channel_reduce_bn"]["mean"]),
+                               reduce_bn.running_mean.numpy(), atol=1e-6)
+    # non-DDN tensors are reported unmapped, not silently eaten
+    assert "dense_head.conv_cls.weight" in report.skipped_ref
+    # converted model still runs eval
+    out = model.apply({"params": params, "batch_stats": stats},
+                      images, l2c, c2i, train=False)
+    assert np.isfinite(np.asarray(out["batch_box_preds"])).all()
